@@ -1,0 +1,67 @@
+"""Configuration dataclasses.
+
+Preserves every knob of the reference's hand-rolled key=val CLIs
+(reference: src/sapling_example.cpp:43-84, src/align.cpp:36-67) with the
+same defaults, so benchmark sweeps are comparable axis-for-axis.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class IndexConfig:
+    k: int = 21                 # k-mer length (sapling_api.h:27)
+    buckets: int = -1           # log2 #bins; -1 = auto from max_mem (:29, :387-391)
+    max_mem: int = 10           # bins <= genome_len / max_mem when auto (:31)
+    most_threshold: float = 0.95  # error bound percentile (:35)
+    pos_dtype: str = "auto"     # "int32" | "int64" | "auto" (int32 iff n < 2^31)
+
+    def resolved_buckets(self, n: int) -> int:
+        if self.buckets != -1:
+            return self.buckets
+        b = 1
+        while (1 << b) * self.max_mem * 2 <= n:
+            b += 1
+        return b
+
+
+@dataclass
+class QueryConfig:
+    batch: int = 1 << 18        # lanes per device kernel launch
+    # Safety cap on the >k stride-scan escalation. The loop self-terminates
+    # (edges advance monotonically or hit the stuck rule), so this is a pure
+    # backstop against livelock; the reference's loop is unbounded
+    # (sapling_api.h:184-196).
+    max_stride_steps: int = 1 << 20
+
+
+@dataclass
+class AlignerConfig:
+    num_seeds: int = 7          # align.cpp:20
+    sapling_k: int = 16         # align.cpp:22
+    flanking: int = 2           # align.cpp:21
+    max_hits: int = 32          # align.cpp:23
+    match_score: int = 2        # ssw_cpp.cpp:230-241 defaults
+    mismatch_penalty: int = 2
+    gap_open: int = 3
+    gap_extend: int = 1
+    mask_len: int = 15          # align.cpp:335
+
+
+@dataclass
+class SaplingConfig:
+    index: IndexConfig = field(default_factory=IndexConfig)
+    query: QueryConfig = field(default_factory=QueryConfig)
+    aligner: AlignerConfig = field(default_factory=AlignerConfig)
+
+
+def parse_keyval_args(argv: list[str]) -> dict[str, str]:
+    """Parse the reference's `key=val` CLI style (sapling_example.cpp:43-84)."""
+    out: dict[str, str] = {}
+    for cur in argv:
+        if "=" in cur:
+            k, v = cur.split("=", 1)
+            out[k] = v
+    return out

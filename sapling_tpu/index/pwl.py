@@ -1,0 +1,188 @@
+"""Piecewise-linear learned index: vectorized build + error audit.
+
+The reference builds the PWL table with two serial full-genome sweeps
+(reference: src/sapling_api.h:384-487). Here both sweeps are array programs:
+
+  sweep 1 (checkpoints): a single stable argsort of the k-mer stream gives,
+    per bucket, the (min-x, earliest-position) checkpoint in one pass
+    (reference loop :409-434), plus the global-max final checkpoint (:429-433)
+    and the empty-bucket forward fill (:436-449).
+
+  sweep 2 (error audit): every k-mer is re-predicted in one vectorized shot
+    and the prediction error computed with the closed-form KRMQ run-length
+    shift (see index.suffix_array.lcp_ge_k_runs) instead of a per-k-mer
+    binary search (reference getError :309-337).
+
+Reference quirk preserved: getError only *shifts* under-shot actuals
+(y < predict); in the y > predict branch the search result is discarded and
+the raw `y - predict` returned (:326-336).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..ops.pack import ALPHA, kmers_scan
+from ..ops.predict import predict_pwl
+from .suffix_array import lcp_ge_k_runs
+
+
+@dataclass
+class PwlTable:
+    buckets: int          # log2 bucket count
+    xlist: np.ndarray     # int64 [2^buckets + 1]
+    ylist: np.ndarray     # int64 [2^buckets + 1]
+    max_over: int
+    max_under: int
+    mean_error: int
+    most_over: int
+    most_under: int
+
+
+@dataclass
+class ErrorAudit:
+    errors: np.ndarray            # int32 signed error per genome k-mer
+    perfect_predictions: int
+
+    def per_bin_stats(self, kmers: np.ndarray, kbits: int, buckets: int):
+        """Per-bucket error statistics (parity with eval/ErrorsPerBin/
+        PerBinErrors.java:5-60): max/mean/median of |error| per bin."""
+        bins = (kmers >> (kbits - buckets)).astype(np.int64)
+        a = np.abs(self.errors.astype(np.int64))
+        nb = 1 << buckets
+        order = np.argsort(bins, kind="stable")
+        bs, es = bins[order], a[order]
+        starts = np.searchsorted(bs, np.arange(nb))
+        ends = np.searchsorted(bs, np.arange(nb) + 1)
+        mx = np.zeros(nb, dtype=np.int64)
+        mean = np.zeros(nb, dtype=np.float64)
+        med = np.zeros(nb, dtype=np.float64)
+        cnt = ends - starts
+        nz = cnt > 0
+        mx[nz] = np.maximum.reduceat(es, starts[nz])
+        sums = np.add.reduceat(es.astype(np.float64), starts[nz])
+        mean[nz] = sums / cnt[nz]
+        for b in np.flatnonzero(nz):  # median needs per-group selection
+            med[b] = np.median(es[starts[b] : ends[b]])
+        return {"count": cnt, "max": mx, "mean": mean, "median": med}
+
+
+def build_checkpoints(kmers: np.ndarray, y: np.ndarray, kbits: int, buckets: int):
+    """Sweep 1: per-bucket (min-x, y-of-earliest-min-x) checkpoints.
+
+    kmers: int64 [m] k-mer value at each genome position
+    y:     suffix-array rank (inv) at each position, same length
+    """
+    nb = 1 << buckets
+    shift = kbits - buckets
+    xlist = np.full(nb + 1, -1, dtype=np.int64)
+    ylist = np.zeros(nb + 1, dtype=np.int64)
+    if kmers.shape[0]:
+        order = np.argsort(kmers, kind="stable")
+        xs = kmers[order]
+        bs = (xs >> shift).astype(np.int64)
+        first = np.flatnonzero(np.diff(bs, prepend=np.int64(-1)))
+        xlist[bs[first]] = xs[first]
+        ylist[bs[first]] = y[order[first]].astype(np.int64)
+        # final checkpoint: maximum x, earliest occurrence (strict-greater
+        # update in the reference loop keeps the first occurrence :429-433).
+        xmax = xs[-1]
+        pos_first_max = order[np.searchsorted(xs, xmax, side="left")]
+        xlist[nb] = xmax
+        ylist[nb] = int(y[pos_first_max])
+    # empty-bucket fill (:436-449)
+    if xlist[0] == -1:
+        xlist[0] = 0
+        ylist[0] = 0
+    empty = xlist == -1
+    src = np.where(~empty, np.arange(nb + 1), 0)
+    src = np.maximum.accumulate(src)
+    xlist = xlist[src]
+    ylist = ylist[src]
+    return xlist, ylist
+
+
+def error_audit(
+    kmers: np.ndarray,
+    inv: np.ndarray,
+    lcp: np.ndarray,
+    xlist: np.ndarray,
+    ylist: np.ndarray,
+    k: int,
+    buckets: int,
+    n: int,
+) -> ErrorAudit:
+    """Sweep 2: predict every genome k-mer, record the signed shifted error."""
+    m = kmers.shape[0]
+    kbits = ALPHA * k
+    pred = predict_pwl(kmers, xlist, ylist, kbits, buckets, n, xp=np)
+    y = inv[:m].astype(np.int64)
+    fwd, _bwd = lcp_ge_k_runs(lcp, k)
+    fwd_full = np.zeros(n, dtype=np.int64)
+    fwd_full[: fwd.shape[0]] = fwd.astype(np.int64)
+    # under-shot actual (y < pred): shift y up toward pred, bounded by the
+    # lcp>=k run (all intermediate ranks share the k-prefix).
+    y_shift = np.where(y < pred, np.minimum(pred, y + fwd_full[y]), y)
+    err = (y_shift - pred).astype(np.int64)
+    return ErrorAudit(
+        errors=err.astype(np.int32),
+        perfect_predictions=int(np.count_nonzero(err == 0)),
+    )
+
+
+def error_stats(audit: ErrorAudit, most_threshold: float = 0.95):
+    """errorStats (reference :342-379), including its exact integer/index
+    truncation semantics."""
+    err = audit.errors.astype(np.int64)
+    overs = err[err > 0]
+    unders = -err[err < 0]
+    n_total = overs.size + unders.size + audit.perfect_predictions
+    max_over = int(overs.max()) if overs.size else 0
+    max_under = int(unders.max()) if unders.size else 0
+    tot = int(np.abs(overs).sum()) + int(np.abs(unders).sum())
+    max_under = max(max_under, 2)
+    max_over = max(max_over, 2)
+    mean_error = int(0.5 + tot // n_total) if n_total else 0  # C++ integer div
+    overs_sorted = np.sort(overs)
+    unders_sorted = np.sort(unders)
+    most_over = int(overs_sorted[int(most_threshold * overs.size)]) if overs.size else 0
+    most_under = (
+        int(unders_sorted[int(most_threshold * unders.size)]) if unders.size else 0
+    )
+    most_over = max(most_over, 1)
+    most_under = max(most_under, 1)
+    return max_over, max_under, mean_error, most_over, most_under
+
+
+def build_pwl(
+    codes: np.ndarray,
+    inv: np.ndarray,
+    lcp: np.ndarray,
+    k: int,
+    buckets: int,
+    most_threshold: float = 0.95,
+    return_audit: bool = False,
+):
+    """Full PWL build from 2-bit codes + suffix data."""
+    n = codes.shape[0]
+    kbits = ALPHA * k
+    kmers = kmers_scan(codes, k)
+    y = inv[: kmers.shape[0]].astype(np.int64)
+    xlist, ylist = build_checkpoints(kmers, y, kbits, buckets)
+    audit = error_audit(kmers, inv, lcp, xlist, ylist, k, buckets, n)
+    mo, mu, me, so, su = error_stats(audit, most_threshold)
+    table = PwlTable(
+        buckets=buckets,
+        xlist=xlist,
+        ylist=ylist,
+        max_over=mo,
+        max_under=mu,
+        mean_error=me,
+        most_over=so,
+        most_under=su,
+    )
+    if return_audit:
+        return table, audit, kmers
+    return table

@@ -1,0 +1,230 @@
+"""SaplingIndex: the user-facing learned suffix-array index.
+
+Equivalent surface to the reference's `struct Sapling`
+(reference: src/sapling_api.h:17-679) redesigned for batched device
+execution: the constructor-side state (genome, rev, inv, PWL table, error
+bounds, chrEnds) lives as typed numpy arrays on the host and is shipped to
+device HBM on first query. Queries are batched: `query_positions` maps a
+[B, L] batch of base codes to [B] genome positions in one jitted program.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..config import IndexConfig, QueryConfig
+from ..io import artifacts
+from ..io.fasta import Genome, read_fasta
+from ..ops import pack as packops
+from ..ops.query import binsearch_batch, plquery_batch
+from .pwl import PwlTable, build_pwl
+from .suffix_array import SuffixData, build_suffix_data, lcp_ge_k_runs, pack_bitmask
+
+
+def _pos_dtype(n: int, cfg: str = "auto"):
+    if cfg == "int32":
+        return np.int32
+    if cfg == "int64":
+        return np.int64
+    return np.int32 if n < np.iinfo(np.int32).max else np.int64
+
+
+@dataclass
+class SaplingIndex:
+    n: int
+    k: int
+    buckets: int
+    packed: np.ndarray            # uint32 2-bit genome, padded
+    rev: np.ndarray               # rank -> pos
+    inv: np.ndarray               # pos -> rank (aligner seeds need it)
+    table: PwlTable
+    chr_ends: list[tuple[int, str]] = field(default_factory=list)
+    codes: np.ndarray | None = None       # uint8 0..3 (host; optional)
+    lcpk_fwd: np.ndarray | None = None    # forward run of lcp>=k (aligner)
+    lcpk_bwd: np.ndarray | None = None    # backward run of lcp>=k
+    _device: dict = field(default_factory=dict, repr=False)
+
+    # --- construction -------------------------------------------------------
+
+    @classmethod
+    def build(
+        cls,
+        genome: Genome | np.ndarray,
+        cfg: IndexConfig | None = None,
+        suffix: SuffixData | None = None,
+        keep_aligner_arrays: bool = True,
+    ) -> "SaplingIndex":
+        cfg = cfg or IndexConfig()
+        if isinstance(genome, Genome):
+            seq, chr_ends = genome.seq, genome.chr_ends
+        else:
+            seq, chr_ends = np.asarray(genome, dtype=np.uint8), []
+        n = int(seq.shape[0])
+        buckets = cfg.resolved_buckets(n)
+        pdt = _pos_dtype(n, cfg.pos_dtype)
+        if suffix is None:
+            suffix = build_suffix_data(seq, pdt)
+        codes = packops.encode_bases(seq)
+        table = build_pwl(codes, suffix.inv, suffix.lcp, cfg.k, buckets,
+                          cfg.most_threshold)
+        packed = packops.pack_codes(codes, pad_words=16)
+        rev = np.empty(n, dtype=pdt)
+        rev[suffix.inv] = np.arange(n, dtype=pdt)
+        idx = cls(
+            n=n, k=cfg.k, buckets=buckets, packed=packed, rev=rev,
+            inv=suffix.inv.astype(pdt), table=table, chr_ends=list(chr_ends),
+            codes=codes,
+        )
+        if keep_aligner_arrays:
+            fwd, bwd = lcp_ge_k_runs(suffix.lcp, cfg.k)
+            idx.lcpk_fwd = np.minimum(fwd, 255).astype(np.uint8)
+            idx.lcpk_bwd = np.minimum(bwd, 255).astype(np.uint8)
+        return idx
+
+    @classmethod
+    def from_fasta(cls, path: str, cfg: IndexConfig | None = None,
+                   cache: bool = True) -> "SaplingIndex":
+        """Build from a FASTA path with the reference's artifact-caching
+        pattern: <path>.sa and <path>_k<k>.stpu.npz are transparently
+        reloaded if present, else built and written
+        (reference: src/sapling_api.h:552-675)."""
+        cfg = cfg or IndexConfig()
+        genome = read_fasta(path)
+        npz = f"{path}_k{cfg.k}_b{cfg.buckets}.stpu.npz"
+        if cache and os.path.exists(npz):
+            return cls.load(npz)
+        sa_path = path + ".sa"
+        pdt = _pos_dtype(genome.n, cfg.pos_dtype)
+        if os.path.exists(sa_path):
+            inv64, lcp64 = artifacts.read_sa(sa_path)
+            inv = inv64.astype(pdt)
+            sa = np.empty(genome.n, dtype=pdt)
+            sa[inv] = np.arange(genome.n, dtype=pdt)
+            suffix = SuffixData(sa=sa, inv=inv, lcp=lcp64.astype(pdt))
+        else:
+            suffix = build_suffix_data(genome.seq, pdt)
+            if cache:
+                artifacts.write_sa(sa_path, suffix.inv, suffix.lcp)
+        idx = cls.build(genome, cfg, suffix=suffix)
+        if cache:
+            idx.save(npz)
+        return idx
+
+    # --- persistence ---------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        ends = np.array([e for e, _ in self.chr_ends], dtype=np.int64)
+        names = np.array([nm for _, nm in self.chr_ends])
+        artifacts.save_npz(
+            path,
+            n=np.int64(self.n), k=np.int64(self.k),
+            buckets=np.int64(self.buckets),
+            packed=self.packed, rev=self.rev, inv=self.inv,
+            xlist=self.table.xlist, ylist=self.table.ylist,
+            stats=np.array([self.table.max_over, self.table.max_under,
+                            self.table.mean_error, self.table.most_over,
+                            self.table.most_under], dtype=np.int64),
+            chr_end_pos=ends, chr_end_name=names,
+            codes=self.codes if self.codes is not None else np.zeros(0, np.uint8),
+            lcpk_fwd=self.lcpk_fwd if self.lcpk_fwd is not None else np.zeros(0, np.uint8),
+            lcpk_bwd=self.lcpk_bwd if self.lcpk_bwd is not None else np.zeros(0, np.uint8),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "SaplingIndex":
+        z = artifacts.load_npz(path)
+        st = z["stats"]
+        table = PwlTable(
+            buckets=int(z["buckets"]), xlist=z["xlist"], ylist=z["ylist"],
+            max_over=int(st[0]), max_under=int(st[1]), mean_error=int(st[2]),
+            most_over=int(st[3]), most_under=int(st[4]),
+        )
+        chr_ends = [(int(e), str(nm)) for e, nm in
+                    zip(z["chr_end_pos"], z["chr_end_name"])]
+        return cls(
+            n=int(z["n"]), k=int(z["k"]), buckets=int(z["buckets"]),
+            packed=z["packed"], rev=z["rev"], inv=z["inv"], table=table,
+            chr_ends=chr_ends,
+            codes=z["codes"] if z["codes"].size else None,
+            lcpk_fwd=z["lcpk_fwd"] if z["lcpk_fwd"].size else None,
+            lcpk_bwd=z["lcpk_bwd"] if z["lcpk_bwd"].size else None,
+        )
+
+    def write_reference_artifacts(self, sa_path: str | None, sap_path: str | None,
+                                  suffix: SuffixData | None = None) -> None:
+        """Emit reference-compatible .sa/.sap files."""
+        if sap_path:
+            t = self.table
+            artifacts.write_sap(sap_path, self.buckets, t.xlist, t.ylist,
+                                t.max_over, t.max_under, t.mean_error,
+                                t.most_over, t.most_under)
+        if sa_path:
+            if suffix is None:
+                raise ValueError("need SuffixData (inv+lcp) to write .sa")
+            artifacts.write_sa(sa_path, suffix.inv, suffix.lcp)
+
+    # --- device state --------------------------------------------------------
+
+    def device_arrays(self):
+        """Lazily put the hot arrays on the default device."""
+        if not self._device:
+            import jax.numpy as jnp
+
+            self._device = {
+                "packed": jnp.asarray(self.packed),
+                "rev": jnp.asarray(self.rev),
+                "xlist": jnp.asarray(self.table.xlist),
+                "ylist": jnp.asarray(self.table.ylist),
+            }
+        return self._device
+
+    # --- queries -------------------------------------------------------------
+
+    def kmerize_batch(self, codes2d: np.ndarray) -> np.ndarray:
+        return packops.batch_kmers_adjusted(codes2d, self.k)
+
+    def query_positions(self, codes2d: np.ndarray,
+                        qcfg: QueryConfig | None = None) -> np.ndarray:
+        """plQuery over a [B, L] batch of base codes -> [B] positions (-1 =
+        not found). Equivalent of reference plQuery (src/sapling_api.h:159)."""
+        qcfg = qcfg or QueryConfig()
+        dev = self.device_arrays()
+        q_words = packops.pack_queries(codes2d)
+        x = self.kmerize_batch(codes2d)
+        t = self.table
+        out = plquery_batch(
+            dev["packed"], dev["rev"], dev["xlist"], dev["ylist"],
+            q_words, x,
+            n=self.n, length=int(codes2d.shape[1]), k=self.k,
+            buckets=self.buckets,
+            most_over=t.most_over, most_under=t.most_under,
+            max_over=t.max_over, max_under=t.max_under,
+            max_stride_steps=qcfg.max_stride_steps,
+        )
+        return np.asarray(out)
+
+    def query_positions_binsearch(self, codes2d: np.ndarray) -> np.ndarray:
+        """Classic binary-search baseline over the same device arrays."""
+        dev = self.device_arrays()
+        q_words = packops.pack_queries(codes2d)
+        out = binsearch_batch(
+            dev["packed"], dev["rev"], q_words,
+            n=self.n, length=int(codes2d.shape[1]),
+        )
+        return np.asarray(out)
+
+    def verify_hits(self, codes2d: np.ndarray, positions: np.ndarray) -> np.ndarray:
+        """Self-check: does the genome substring at each position equal the
+        query? (reference: src/sapling_example.cpp:143-154)."""
+        if self.codes is None:
+            raise ValueError("index was built without host codes")
+        length = codes2d.shape[1]
+        ok = (positions >= 0) & (positions + length <= self.n)
+        good = np.zeros(codes2d.shape[0], dtype=bool)
+        pos_ok = positions[ok]
+        window = self.codes[pos_ok[:, None] + np.arange(length)]
+        good[ok] = (window == codes2d[ok]).all(axis=1)
+        return good

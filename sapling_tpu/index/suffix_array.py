@@ -1,0 +1,74 @@
+"""Suffix-array substrate: build (native SA-IS) + derived arrays.
+
+Replaces the reference's in-memory DC3 (src/sa.h:82-183) and its k-threshold
+RMQ (src/sa.h:33-57) with:
+  * native SA-IS + Kasai (sapling_tpu.native),
+  * vectorized forward/backward run-length arrays over `lcp >= k`, which
+    answer every KRMQ query the reference ever makes in O(1) closed form
+    (used by the build-time error audit and the aligner's hit counting).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..native import build_suffix_array, lcp_kasai
+
+
+@dataclass
+class SuffixData:
+    sa: np.ndarray    # rank -> pos  (the reference calls this `rev`)
+    inv: np.ndarray   # pos -> rank  (the reference's lsa.inv)
+    lcp: np.ndarray   # lcp[r] = LCP(suffix@rank r, suffix@rank r+1), len n-1
+
+    @property
+    def n(self) -> int:
+        return int(self.inv.shape[0])
+
+
+def build_suffix_data(seq_ascii: np.ndarray, pos_dtype=None) -> SuffixData:
+    """SA + inv + LCP for an ASCII ACGT genome."""
+    sa = build_suffix_array(seq_ascii, pos_dtype)
+    inv, lcp = lcp_kasai(seq_ascii, sa)
+    return SuffixData(sa=sa, inv=inv, lcp=lcp)
+
+
+def lcp_ge_k_runs(lcp: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Forward/backward run lengths of `lcp >= k`.
+
+    fwd[i]  = #consecutive j >= i with lcp[j] >= k     (reference krmqb,
+              src/sa.h:33-43)
+    bwd[i]  = #consecutive j <= i with lcp[j] >= k
+
+    These answer the reference's KRMQ queries in closed form:
+      queryLcpK(a, b), a<b  <=>  fwd[a] >= b - a
+    and give getError's bounded shifts (src/sapling_api.h:309-337) as
+      y < p: y' = min(p, y + fwd[y])        (fwd[y]=0 when y >= len(lcp))
+      y > p: y' = max(p, y - bwd[y-1])
+    """
+    m = lcp.shape[0]
+    ok = lcp >= k
+    idx = np.arange(m, dtype=np.int64)
+    nf = np.where(~ok, idx, m)  # position of this element if it breaks the run
+    # next break at-or-after i:
+    next_break = np.minimum.accumulate(nf[::-1])[::-1]
+    fwd = (next_break - idx).astype(lcp.dtype)
+    pf = np.where(~ok, idx, -1)
+    prev_break = np.maximum.accumulate(pf)
+    bwd = (idx - prev_break).astype(lcp.dtype)
+    return fwd, bwd
+
+
+def pack_bitmask(bits: np.ndarray, pad_words: int = 4) -> np.ndarray:
+    """Pack a boolean array into uint32 words, bit i at position 31-(i%32)
+    of word i//32 (big-endian within word, matching the 2-bit genome pack)."""
+    n = bits.shape[0]
+    n_words = (n + 31) // 32
+    buf = np.zeros(n_words * 32, dtype=np.uint32)
+    buf[:n] = bits.astype(np.uint32)
+    buf = buf.reshape(n_words, 32)
+    shifts = np.uint32(31) - np.arange(32, dtype=np.uint32)
+    words = np.bitwise_or.reduce(buf << shifts, axis=1).astype(np.uint32)
+    return np.concatenate([words, np.zeros(pad_words, dtype=np.uint32)])

@@ -1,0 +1,83 @@
+"""Index artifact (de)serialization.
+
+Two formats:
+  * Reference-compatible `.sa` / `.sap` flat binaries, bit-for-bit
+    interchangeable with files produced by the C++ reference
+    (.sa layout: src/sapling_api.h:559-603 & suffixarray/addlcp.cpp:69-77;
+     .sap layout: src/sapling_api.h:613-675 including the 32-bit-size quirk
+     for buckets <= 30).
+  * A native .npz artifact with the packed/typed arrays the TPU engine
+    actually loads (fast reload path; the reference's pattern of
+    write-once / transparently-reload is preserved).
+
+All .sa/.sap integers are little-endian 64-bit size_t / long long as on the
+reference's x86-64 targets.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def write_sa(path: str, inv: np.ndarray, lcp: np.ndarray) -> None:
+    with open(path, "wb") as f:
+        np.array([inv.shape[0]], dtype="<u8").tofile(f)
+        inv.astype("<u8").tofile(f)
+        np.array([lcp.shape[0]], dtype="<u8").tofile(f)
+        lcp.astype("<u8").tofile(f)
+
+
+def read_sa(path: str) -> tuple[np.ndarray, np.ndarray]:
+    with open(path, "rb") as f:
+        n = int(np.fromfile(f, dtype="<u8", count=1)[0])
+        inv = np.fromfile(f, dtype="<u8", count=n)
+        m = int(np.fromfile(f, dtype="<u8", count=1)[0])
+        lcp = np.fromfile(f, dtype="<u8", count=m)
+    if inv.shape[0] != n or lcp.shape[0] != m:
+        raise IOError(f"truncated .sa file: {path}")
+    return inv, lcp
+
+
+def write_sap(path: str, buckets: int, xlist: np.ndarray, ylist: np.ndarray,
+              max_over: int, max_under: int, mean_error: int,
+              most_over: int, most_under: int) -> None:
+    size = (1 << buckets) + 1
+    assert xlist.shape[0] == size and ylist.shape[0] == size
+    with open(path, "wb") as f:
+        np.array([buckets], dtype="<i4").tofile(f)
+        if buckets <= 30:
+            np.array([size], dtype="<i4").tofile(f)
+        else:
+            np.array([size], dtype="<u8").tofile(f)
+        xlist.astype("<i8").tofile(f)
+        ylist.astype("<i8").tofile(f)
+        np.array([max_over, max_under, mean_error, most_over, most_under],
+                 dtype="<i4").tofile(f)
+
+
+def read_sap(path: str):
+    with open(path, "rb") as f:
+        buckets = int(np.fromfile(f, dtype="<i4", count=1)[0])
+        if buckets <= 30:
+            size = int(np.fromfile(f, dtype="<i4", count=1)[0])
+        else:
+            size = int(np.fromfile(f, dtype="<u8", count=1)[0])
+        xlist = np.fromfile(f, dtype="<i8", count=size)
+        ylist = np.fromfile(f, dtype="<i8", count=size)
+        stats = np.fromfile(f, dtype="<i4", count=5)
+    if xlist.shape[0] != size or ylist.shape[0] != size or stats.shape[0] != 5:
+        raise IOError(f"truncated .sap file: {path}")
+    return buckets, xlist, ylist, tuple(int(s) for s in stats)
+
+
+def save_npz(path: str, **arrays) -> None:
+    tmp = path + f".tmp{os.getpid()}"
+    np.savez(tmp, **arrays)
+    os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
+
+
+def load_npz(path: str) -> dict:
+    with np.load(path, allow_pickle=True) as z:
+        return {k: z[k] for k in z.files}

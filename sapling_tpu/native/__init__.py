@@ -1,0 +1,104 @@
+"""ctypes bindings to the native C++ substrate (SA-IS, Kasai LCP, SW traceback).
+
+Host-side, build-time / per-best-candidate work lives here; all batched
+query-time compute is JAX/XLA/Pallas (see sapling_tpu.ops).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+
+import numpy as np
+
+from .build import build_native
+
+
+@functools.lru_cache(maxsize=1)
+def _lib() -> ctypes.CDLL:
+    lib = ctypes.CDLL(build_native())
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.stpu_sais_u8_i32.argtypes = [u8p, i32p, ctypes.c_int64]
+    lib.stpu_sais_u8_i32.restype = ctypes.c_int
+    lib.stpu_sais_u8_i64.argtypes = [u8p, i64p, ctypes.c_int64]
+    lib.stpu_sais_u8_i64.restype = ctypes.c_int
+    lib.stpu_lcp_kasai_i32.argtypes = [u8p, i32p, ctypes.c_int64, i32p, i32p]
+    lib.stpu_lcp_kasai_i32.restype = ctypes.c_int
+    lib.stpu_lcp_kasai_i64.argtypes = [u8p, i64p, ctypes.c_int64, i64p, i64p]
+    lib.stpu_lcp_kasai_i64.restype = ctypes.c_int
+    return lib
+
+
+def _as_u8(text: np.ndarray) -> np.ndarray:
+    a = np.ascontiguousarray(text)
+    if a.dtype != np.uint8:
+        raise TypeError(f"text must be uint8, got {a.dtype}")
+    return a
+
+
+def build_suffix_array(text: np.ndarray, index_dtype=None) -> np.ndarray:
+    """SA-IS suffix array of a uint8 text. Returns sa with sa[rank]=pos.
+
+    index_dtype defaults to int32 when it fits, else int64 (reference's
+    offline pipeline patches divsufsort to int64 for >2^31 genomes:
+    suffixarray/refToSuffixArray.sh:12).
+    """
+    a = _as_u8(text)
+    n = a.shape[0]
+    if index_dtype is None:
+        index_dtype = np.int32 if n < np.iinfo(np.int32).max else np.int64
+    sa = np.empty(n, dtype=index_dtype)
+    if n == 0:
+        return sa
+    lib = _lib()
+    ptr = a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    if np.dtype(index_dtype) == np.int32:
+        rc = lib.stpu_sais_u8_i32(
+            ptr, sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n
+        )
+    else:
+        rc = lib.stpu_sais_u8_i64(
+            ptr, sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n
+        )
+    if rc != 0:
+        raise RuntimeError(f"stpu_sais failed rc={rc}")
+    return sa
+
+
+def lcp_kasai(text: np.ndarray, sa: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Kasai LCP. Returns (inv, lcp): inv[pos]=rank, lcp has length n-1.
+
+    Semantics identical to reference src/sa.h:192-210 / addlcp.cpp:19-50.
+    """
+    a = _as_u8(text)
+    n = a.shape[0]
+    sa = np.ascontiguousarray(sa)
+    inv = np.empty(n, dtype=sa.dtype)
+    lcp = np.zeros(max(n - 1, 0), dtype=sa.dtype)
+    if n == 0:
+        return inv, lcp
+    lib = _lib()
+    ptr = a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    if sa.dtype == np.int32:
+        rc = lib.stpu_lcp_kasai_i32(
+            ptr,
+            sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n,
+            inv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            lcp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    elif sa.dtype == np.int64:
+        rc = lib.stpu_lcp_kasai_i64(
+            ptr,
+            sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n,
+            inv.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            lcp.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+    else:
+        raise TypeError(f"sa dtype must be int32/int64, got {sa.dtype}")
+    if rc != 0:
+        raise RuntimeError(f"stpu_lcp_kasai failed rc={rc}")
+    return inv, lcp

@@ -1,0 +1,131 @@
+"""2-bit genome/query packing and k-mer encoding.
+
+The genome is held on device as big-endian 2-bit codes packed 16 bases per
+uint32 word: base i lives at bits [30 - 2*(i % 16), 31 - 2*(i % 16)] of word
+i // 16. This layout makes lexicographic base comparison equal to unsigned
+integer comparison of aligned words, which is what the batched LCP/compare
+kernel exploits (see sapling_tpu.ops.query).
+
+Base encoding matches the reference (A=0, C=1, G=2, T=3;
+reference: src/sapling_api.h:494-498), and k-mer hashing matches
+Sapling::kmerize / kmerizeAdjusted (reference: src/sapling_api.h:73-90).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+ALPHA = 2  # log2 alphabet size
+BASES_PER_WORD = 16
+
+# byte -> 2-bit code lookup (A/C/G/T uppercase only; caller filters first)
+_CODE_LUT = np.zeros(256, dtype=np.uint8)
+_CODE_LUT[ord("A")] = 0
+_CODE_LUT[ord("C")] = 1
+_CODE_LUT[ord("G")] = 2
+_CODE_LUT[ord("T")] = 3
+_DECODE = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def encode_bases(ascii_u8: np.ndarray) -> np.ndarray:
+    """ASCII A/C/G/T bytes -> codes 0..3 (uint8)."""
+    return _CODE_LUT[ascii_u8]
+
+
+def decode_bases(codes: np.ndarray) -> np.ndarray:
+    """codes 0..3 -> ASCII bytes."""
+    return _DECODE[codes]
+
+
+def pack_codes(codes: np.ndarray, pad_words: int = 4) -> np.ndarray:
+    """Pack 2-bit codes (uint8 [n]) into big-endian uint32 words.
+
+    `pad_words` extra zero words are appended so kernels can gather a fixed
+    window of words near the end of the genome without bounds checks.
+    """
+    n = codes.shape[0]
+    n_words = (n + BASES_PER_WORD - 1) // BASES_PER_WORD
+    buf = np.zeros(n_words * BASES_PER_WORD, dtype=np.uint32)
+    buf[:n] = codes
+    buf = buf.reshape(n_words, BASES_PER_WORD)
+    shifts = np.uint32(30) - np.uint32(2) * np.arange(BASES_PER_WORD, dtype=np.uint32)
+    words = np.bitwise_or.reduce(buf << shifts, axis=1).astype(np.uint32)
+    return np.concatenate([words, np.zeros(pad_words, dtype=np.uint32)])
+
+
+def unpack_words(words: np.ndarray, n: int) -> np.ndarray:
+    """Inverse of pack_codes (first n bases)."""
+    w = words[: (n + BASES_PER_WORD - 1) // BASES_PER_WORD]
+    shifts = np.uint32(30) - np.uint32(2) * np.arange(BASES_PER_WORD, dtype=np.uint32)
+    codes = ((w[:, None] >> shifts) & np.uint32(3)).astype(np.uint8)
+    return codes.reshape(-1)[:n]
+
+
+def kmers_scan(codes: np.ndarray, k: int) -> np.ndarray:
+    """int64 2k-bit hash of every k-mer: out[i] = hash(codes[i:i+k]).
+
+    Vectorized equivalent of the rolling-hash sweep in buildPiecewiseLinear
+    (reference: src/sapling_api.h:402-415). Length n-k+1.
+    """
+    n = codes.shape[0]
+    if n < k:
+        return np.zeros(0, dtype=np.int64)
+    m = n - k + 1
+    out = np.zeros(m, dtype=np.int64)
+    c = codes.astype(np.int64)
+    for j in range(k):
+        out |= c[j : j + m] << (ALPHA * (k - 1 - j))
+    return out
+
+
+def kmerize(codes: np.ndarray, k: int) -> int:
+    """Hash of the first k codes (reference: src/sapling_api.h:73-78)."""
+    v = 0
+    for c in codes[:k]:
+        v = (v << ALPHA) | int(c)
+    return v
+
+
+def kmerize_adjusted(codes: np.ndarray, length: int, k: int) -> int:
+    """Hash of a possibly-short query (reference: src/sapling_api.h:83-90).
+
+    Queries shorter than k are padded with a G ('closer to the middle of the
+    range') then zero-shifted to full 2k bits.
+    """
+    if length >= k:
+        return kmerize(codes, k)
+    v = 0
+    for c in codes[:length]:
+        v = (v << ALPHA) | int(c)
+    v = (v << ALPHA) | 2
+    return v << (ALPHA * (k - length - 1))
+
+
+def pack_queries(codes: np.ndarray) -> np.ndarray:
+    """Pack a batch of equal-length queries [B, L] into words [B, ceil(L/16)].
+
+    Bits beyond L in the last word are zero.
+    """
+    b, length = codes.shape
+    wq = (length + BASES_PER_WORD - 1) // BASES_PER_WORD
+    buf = np.zeros((b, wq * BASES_PER_WORD), dtype=np.uint32)
+    buf[:, :length] = codes
+    buf = buf.reshape(b, wq, BASES_PER_WORD)
+    shifts = np.uint32(30) - np.uint32(2) * np.arange(BASES_PER_WORD, dtype=np.uint32)
+    return np.bitwise_or.reduce(buf << shifts, axis=2).astype(np.uint32)
+
+
+def batch_kmers_adjusted(codes: np.ndarray, k: int) -> np.ndarray:
+    """Vectorized kmerizeAdjusted over a [B, L] batch -> int64 [B]."""
+    b, length = codes.shape
+    c = codes.astype(np.int64)
+    if length >= k:
+        out = np.zeros(b, dtype=np.int64)
+        for j in range(k):
+            out = (out << ALPHA) | c[:, j]
+        return out
+    out = np.zeros(b, dtype=np.int64)
+    for j in range(length):
+        out = (out << ALPHA) | c[:, j]
+    out = (out << ALPHA) | 2
+    return out << (ALPHA * (k - length - 1))

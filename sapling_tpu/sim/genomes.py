@@ -1,0 +1,78 @@
+"""Seeded synthetic genomes and reads.
+
+Simulation-as-ground-truth, following the reference's evaluation strategy
+(reference: eval/SuffixArraySim/SuffixArraySimulatedSequences.java:78-136):
+uniform, GC-biased and repeat genomes from a seeded RNG, plus a read
+simulator with substitution errors for end-to-end aligner checks
+(reference: eval/Aligner/AlignmentQuality.java compares SAM vs truth).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_BASES = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+
+def uniform_genome(n: int, seed: int = 1212121) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return _BASES[rng.integers(0, 4, n)]
+
+
+def gc_biased_genome(n: int, gc: float = 0.7, seed: int = 1212121) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    p_each = np.array([(1 - gc) / 2, gc / 2, gc / 2, (1 - gc) / 2])
+    return _BASES[rng.choice(4, size=n, p=p_each)]
+
+
+def repeat_genome(n: int, period: int = 1000, seed: int = 1212121) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    unit = _BASES[rng.integers(0, 4, period)]
+    reps = (n + period - 1) // period
+    return np.tile(unit, reps)[:n]
+
+
+_COMP = np.zeros(256, dtype=np.uint8)
+for a, b in zip(b"ACGT", b"TGCA"):
+    _COMP[a] = b
+
+
+def revcomp(seq: np.ndarray) -> np.ndarray:
+    return _COMP[seq[::-1]]
+
+
+def simulate_reads(
+    genome: np.ndarray,
+    num: int,
+    length: int,
+    sub_rate: float = 0.0,
+    rc_prob: float = 0.5,
+    seed: int = 7,
+):
+    """Sample reads with optional substitution errors.
+
+    Returns (reads [num, length] ascii uint8, true_pos [num], is_rc [num]).
+    """
+    rng = np.random.default_rng(seed)
+    n = genome.shape[0]
+    pos = rng.integers(0, n - length + 1, num)
+    reads = genome[pos[:, None] + np.arange(length)]
+    if sub_rate > 0:
+        mask = rng.random((num, length)) < sub_rate
+        shift = rng.integers(1, 4, (num, length))
+        code = np.searchsorted(_BASES, reads)  # ACGT are sorted ascii
+        reads = np.where(mask, _BASES[(code + shift) % 4], reads)
+    is_rc = rng.random(num) < rc_prob
+    reads = np.where(is_rc[:, None], np.stack([revcomp(r) for r in reads]), reads)
+    return reads, pos, is_rc
+
+
+def write_fastq(path: str, reads: np.ndarray, names: list[str] | None = None,
+                qual: int = ord("I")):
+    num, length = reads.shape
+    q = bytes([qual]) * length
+    with open(path, "wb") as f:
+        for i in range(num):
+            name = names[i] if names else f"read{i + 1}"
+            f.write(b"@" + name.encode() + b"\n")
+            f.write(reads[i].tobytes() + b"\n+\n" + q + b"\n")
