@@ -22,6 +22,11 @@ import os
 import sys
 import time
 
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
+
 import numpy as np
 
 GENOME_N = 4_600_000

@@ -28,6 +28,14 @@ def _lib() -> ctypes.CDLL:
     lib.stpu_lcp_kasai_i32.restype = ctypes.c_int
     lib.stpu_lcp_kasai_i64.argtypes = [u8p, i64p, ctypes.c_int64, i64p, i64p]
     lib.stpu_lcp_kasai_i64.restype = ctypes.c_int
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.stpu_banded_cigar.argtypes = [
+        i8p, i8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, u32p, ctypes.c_int32,
+    ]
+    lib.stpu_banded_cigar.restype = ctypes.c_int32
     return lib
 
 
@@ -102,3 +110,32 @@ def lcp_kasai(text: np.ndarray, sa: np.ndarray) -> tuple[np.ndarray, np.ndarray]
     if rc != 0:
         raise RuntimeError(f"stpu_lcp_kasai failed rc={rc}")
     return inv, lcp
+
+
+def banded_cigar(ref_codes: np.ndarray, read_codes: np.ndarray, score: int,
+                 match: int, mismatch: int, gap_open: int, gap_extend: int,
+                 band_width: int) -> np.ndarray | None:
+    """Banded DP traceback over the aligned region -> M/I/D cigar ints.
+
+    ref_codes/read_codes: int8 base codes of the ALIGNED slices only
+    (ref[ref_begin:ref_end+1], read[read_begin:read_end+1]). Returns None
+    on traceback failure (the caller skips the candidate, matching
+    reference src/align.cpp:336).
+    """
+    ref_codes = np.ascontiguousarray(ref_codes, dtype=np.int8)
+    read_codes = np.ascontiguousarray(read_codes, dtype=np.int8)
+    cap = int(read_codes.shape[0] + ref_codes.shape[0] + 4)
+    out = np.empty(cap, dtype=np.uint32)
+    lib = _lib()
+    n = lib.stpu_banded_cigar(
+        ref_codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        read_codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        ref_codes.shape[0], read_codes.shape[0], score,
+        match, mismatch, gap_open, gap_extend, band_width,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), cap,
+    )
+    if n == -1:
+        return None
+    if n < 0:
+        raise RuntimeError(f"stpu_banded_cigar rc={n}")
+    return out[:n].copy()

@@ -1,0 +1,239 @@
+"""Batched affine-gap Smith-Waterman scoring on TPU.
+
+TPU-first replacement for the vendored striped Smith-Waterman SSE2 kernels
+(reference: src/ssw.c:192-380 byte pass, :406-580 word pass). The striping
+is an SSE2 register trick; on TPU the natural inversion is *batch*
+parallelism: score B (query, ref-window) candidate pairs at once with a
+`lax.scan` over reference columns, vectorized [B, W] over lanes x query
+rows on the VPU.
+
+The only sequential hazard in a column-major sweep is the vertical gap
+recurrence F[j] = max(F[j-1]-gapE, H[j-1]-gapO) (H depends on F in the
+same column — ssw.c's "lazy-F" loop exists for exactly this). Because
+gapO >= gapE, substituting H = max(H_nof, F) gives
+F[j] = max(F[j-1]-gapE, H_nof[j-1]-gapO), which is a decayed running max:
+F[j] + gapE*j = cummax(H_nof[j-1] - gapO + gapE*j) — ONE cumulative max
+per column instead of a data-dependent fixup loop.
+
+Parity notes vs ssw.c (validated in tests against a direct NumPy oracle):
+  * score1 is exact int32 (the byte kernel's 255-overflow -> word-kernel
+    rerun, ssw.c:835-841, always converges to the exact score).
+  * ref_end = EARLIEST column attaining the global max (strict-greater
+    update, ssw.c:320-328); read_end = SMALLEST row attaining it in that
+    column (ssw.c:337-345).
+  * score2/ref_end2 = the best column max outside +/-mask_len of ref_end
+    (ssw.c:355-373), earliest column on ties.
+  * SSE pad rows: the striped kernels round the query up to a multiple of
+    16 (byte) / 8 (word) rows whose substitution score is 0 for every ref
+    base (qP_byte ssw.c:158-166: pad profile = bias). Those rows carry
+    real scores diagonally "for free" and leak into the per-column maxima
+    (score2, and the reverse pass's terminate test) but never into the
+    global max. `pad_to` reproduces this exactly; pad rows are excluded
+    from read_end tracking, matching ssw.c:337-345's striped index map.
+  * terminate: the reverse pass stops at the first column whose column
+    max equals the forward score (ssw.c:333-334), after updating the best
+    (so the terminating column can win). terminate=-1 disables.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+NEG = jnp.int32(-(1 << 30))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("match", "mismatch", "gap_open", "gap_extend",
+                     "mask_len", "pad_to", "second_inclusive"),
+)
+def sw_pass(
+    query, qlen, ref, rlen, terminate,
+    *, match: int = 2, mismatch: int = 2, gap_open: int = 3,
+    gap_extend: int = 1, mask_len: int = 15, pad_to: int = 16,
+    second_inclusive: bool = False,
+):
+    """One SW scoring pass over B candidate pairs.
+
+    query: int8/int32 [B, W] base codes 0..4 (4 = N, mismatches everything)
+    qlen:  int32 [B] true query lengths (rows beyond are dead)
+    ref:   int8/int32 [B, R] base codes
+    rlen:  int32 [B] true ref-window lengths (columns beyond are skipped)
+    terminate: int32 [B]; stop updating a lane after a column max equals
+               this value (-1 = never).
+
+    Returns dict of int32 [B] arrays: score, ref_end, read_end, score2,
+    ref_end2. ref_end = -1 when nothing scored > 0 (unaligned lane).
+    """
+    if gap_open < gap_extend:
+        raise ValueError("decayed-max F factorization requires gapO >= gapE")
+    b, w = query.shape
+    # room for every lane's SSE pad rows: ceil(qlen/pad_to)*pad_to <= w'
+    wpad = ((w + pad_to - 1) // pad_to) * pad_to
+    if wpad != w:
+        query = jnp.pad(query, ((0, 0), (0, wpad - w)))
+        w = wpad
+    r = ref.shape[1]
+    q = query.astype(jnp.int32)
+    refi = ref.astype(jnp.int32)
+    qlen = qlen.astype(jnp.int32)
+    rlen = rlen.astype(jnp.int32)
+    terminate = terminate.astype(jnp.int32)
+
+    jidx = jnp.arange(w, dtype=jnp.int32)[None, :]          # [1, W]
+    valid_row = jidx < qlen[:, None]                        # [B, W] real rows
+    padlen = ((qlen + pad_to - 1) // pad_to) * pad_to
+    live_row = jidx < padlen[:, None]                       # real + SSE pads
+    ge_j = gap_extend * jidx                                # decay offsets
+
+    def column(carry, i):
+        h, e, best, best_ref, best_col, done = carry
+        rbase = refi[:, i][:, None]                         # [B, 1]
+        sub = jnp.where((q == rbase) & (q < 4), match, -mismatch)
+        sub = jnp.where(valid_row, sub, 0)                  # pad rows: 0
+        diag = jnp.pad(h[:, :-1], ((0, 0), (1, 0)))         # H[j-1] prev col
+        h_nof = jnp.maximum(jnp.maximum(diag + sub, e), 0)
+        h_nof = jnp.where(live_row, h_nof, 0)
+        # F via decayed running max (see module docstring)
+        a = jnp.pad(h_nof[:, :-1] - gap_open, ((0, 0), (1, 0)),
+                    constant_values=int(NEG))
+        f = jax.lax.cummax(a + ge_j, axis=1) - ge_j
+        h_new = jnp.where(live_row, jnp.maximum(h_nof, f), 0)
+        e_new = jnp.where(
+            live_row, jnp.maximum(e - gap_extend, h_new - gap_open), NEG
+        )
+
+        col_ok = (i < rlen) & ~done
+        colmax_real = jnp.max(jnp.where(valid_row, h_new, -1), axis=1)
+        colmax_pad = jnp.max(jnp.where(live_row, h_new, -1), axis=1)
+        upd = col_ok & (colmax_real > best)
+        best = jnp.where(upd, colmax_real, best)
+        best_ref = jnp.where(upd, i, best_ref)
+        best_col = jnp.where(upd[:, None], h_new, best_col)
+        done = done | (col_ok & (colmax_pad == terminate))
+        # freeze H/E on finished lanes (the C loop broke out)
+        h = jnp.where(col_ok[:, None], h_new, h)
+        e = jnp.where(col_ok[:, None], e_new, e)
+        colmax_out = jnp.where(col_ok, colmax_pad, 0)
+        return (h, e, best, best_ref, best_col, done), colmax_out
+
+    zero = jnp.zeros((b, w), jnp.int32)
+    init = (
+        zero,                                   # H
+        jnp.full((b, w), NEG, jnp.int32),       # E
+        jnp.zeros((b,), jnp.int32),             # best score
+        jnp.full((b,), -1, jnp.int32),          # best ref col
+        zero,                                   # H at best col
+        jnp.zeros((b,), bool),                  # done
+    )
+    (h, e, best, best_ref, best_col, done), colmax = jax.lax.scan(
+        column, init, jnp.arange(r, dtype=jnp.int32)
+    )
+    colmax = colmax.T                           # [B, R]
+
+    # read_end: smallest real row attaining the max in the best column
+    hit = valid_row & (best_col == best[:, None])
+    read_end = jnp.where(
+        hit.any(axis=1), jnp.argmax(hit, axis=1), qlen - 1
+    ).astype(jnp.int32)
+
+    # second best: best column max outside [ref_end-mask, ref_end+mask]
+    iidx = jnp.arange(r, dtype=jnp.int32)[None, :]
+    lo_edge = jnp.maximum(best_ref - mask_len, 0)[:, None]
+    hi_edge = jnp.minimum(best_ref + mask_len, rlen)[:, None]
+    # the reference's 8-bit kernel excludes the right edge column
+    # (ssw.c:366: i = edge + 1), the 16-bit kernel includes it
+    # (ssw.c:571: i = edge) — second_inclusive selects the word behavior.
+    right_ok = (iidx >= hi_edge) if second_inclusive else (iidx > hi_edge)
+    eligible = ((iidx < lo_edge) | right_ok) & (iidx < rlen[:, None])
+    masked = jnp.where(eligible, colmax, 0)
+    score2 = jnp.max(masked, axis=1)
+    has2 = score2 > 0
+    ref_end2 = jnp.where(has2, jnp.argmax(masked, axis=1), 0).astype(jnp.int32)
+
+    return {
+        "score": best,
+        "ref_end": best_ref,
+        "read_end": read_end,
+        "score2": score2,
+        "ref_end2": ref_end2,
+    }
+
+
+def sw_align_ends(query, qlen, ref, rlen, *, match=2, mismatch=2,
+                  gap_open=3, gap_extend=1, mask_len=15):
+    """Forward + reverse passes: full ssw_align endpoint semantics
+    (reference: src/ssw.c:810-901) for a batch.
+
+    Returns dict with score, score2, ref_end2, ref_begin, ref_end,
+    read_begin, read_end (all int32 [B], genome-window coordinates).
+
+    The byte/word kernel split (ssw.c:835-841) changes only the SSE pad
+    multiple: byte pads to 16 rows, word to 8. A lane reruns in word mode
+    when its byte score saturates (score + bias >= 255, bias = mismatch).
+
+    Shapes are padded to canonical buckets (B -> power of two, W -> x128
+    lanes, R -> x32 columns) so repeated calls with nearby sizes reuse one
+    compiled executable — compiles dominate wall-clock on the TPU backend.
+    """
+    import numpy as np
+
+    query = np.asarray(query)
+    ref = np.asarray(ref)
+    qlen = np.asarray(qlen, np.int32)
+    rlen = np.asarray(rlen, np.int32)
+    b0, w0 = query.shape
+    r0 = ref.shape[1]
+    b = max(256, 1 << (b0 - 1).bit_length())
+    w = ((w0 + 127) // 128) * 128
+    r = ((r0 + 31) // 32) * 32
+    query = np.pad(query, ((0, b - b0), (0, w - w0)))
+    ref = np.pad(ref, ((0, b - b0), (0, r - r0)))
+    qlen = np.pad(qlen, (0, b - b0), constant_values=1)
+    rlen = np.pad(rlen, (0, b - b0), constant_values=1)
+    kw = dict(match=match, mismatch=mismatch, gap_open=gap_open,
+              gap_extend=gap_extend, mask_len=mask_len)
+    no_term = np.full(b, -1, np.int32)
+
+    fwd = {k: np.asarray(v) for k, v in
+           sw_pass(query, qlen, ref, rlen, no_term, pad_to=16, **kw).items()}
+    overflow = fwd["score"] + mismatch >= 255
+    if overflow.any():
+        fw = {k: np.asarray(v) for k, v in
+              sw_pass(query, qlen, ref, rlen, no_term, pad_to=8, second_inclusive=True, **kw).items()}
+        for k in fwd:
+            fwd[k] = np.where(overflow, fw[k], fwd[k])
+
+    # reverse pass: reversed query prefix [0..read_end] vs reversed ref
+    # prefix [0..ref_end], terminate at the forward score (ssw.c:860-875)
+    q_end, r_end = fwd["read_end"], fwd["ref_end"]
+    qlen_rev = (q_end + 1).astype(np.int32)
+    rlen_rev = (r_end + 1).astype(np.int32)
+    jr = np.arange(query.shape[1])[None, :]
+    ir = np.arange(ref.shape[1])[None, :]
+    qr_idx = np.clip(q_end[:, None] - jr, 0, None)
+    rr_idx = np.clip(r_end[:, None] - ir, 0, None)
+    q_rev = np.take_along_axis(query, qr_idx, axis=1)
+    r_rev = np.take_along_axis(ref, rr_idx, axis=1)
+    term = fwd["score"].astype(np.int32)
+
+    rev = {k: np.asarray(v) for k, v in
+           sw_pass(q_rev, qlen_rev, r_rev, rlen_rev, term, pad_to=16, **kw).items()}
+    if overflow.any():
+        rv = {k: np.asarray(v) for k, v in
+              sw_pass(q_rev, qlen_rev, r_rev, rlen_rev, term, pad_to=8, second_inclusive=True, **kw).items()}
+        for k in rev:
+            rev[k] = np.where(overflow, rv[k], rev[k])
+
+    return {
+        "score": fwd["score"][:b0],
+        "score2": fwd["score2"][:b0],
+        "ref_end2": fwd["ref_end2"][:b0],
+        "ref_end": r_end[:b0],
+        "read_end": q_end[:b0],
+        "ref_begin": (r_end - rev["ref_end"])[:b0],
+        "read_begin": (q_end - rev["read_end"])[:b0],
+    }

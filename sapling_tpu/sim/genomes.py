@@ -99,6 +99,53 @@ def simulate_reads(
     return reads, pos, is_rc
 
 
+def simulate_reads_indel(
+    genome: np.ndarray,
+    num: int,
+    length: int,
+    sub_rate: float = 0.01,
+    indel_rate: float = 0.005,
+    max_indel: int = 3,
+    rc_prob: float = 0.5,
+    seed: int = 7,
+):
+    """Reads with substitutions AND short insertions/deletions (exercises
+    the affine-gap paths of the extension engine). Returns (list of ascii
+    arrays — lengths stay `length` by re-trimming —, true_pos, is_rc)."""
+    rng = np.random.default_rng(seed)
+    n = genome.shape[0]
+    margin = length + max_indel * 4
+    pos = rng.integers(0, n - margin, num)
+    reads, is_rc = [], []
+    for i in range(num):
+        src = genome[pos[i] : pos[i] + margin].copy()
+        out = []
+        j = 0
+        while len(out) < length and j < len(src):
+            roll = rng.random()
+            if roll < indel_rate / 2:      # deletion from reference
+                j += int(rng.integers(1, max_indel + 1))
+                continue
+            if roll < indel_rate:          # insertion into read
+                for _ in range(int(rng.integers(1, max_indel + 1))):
+                    out.append(_BASES[rng.integers(0, 4)])
+            b = src[j]
+            if rng.random() < sub_rate:
+                code = int(np.searchsorted(_BASES, b))
+                b = _BASES[(code + int(rng.integers(1, 4))) % 4]
+            out.append(b)
+            j += 1
+        read = np.array(out[:length], dtype=np.uint8)
+        if len(read) < length:  # pad from genome tail (rare)
+            read = np.concatenate([read, src[j : j + length - len(read)]])
+        rc = rng.random() < rc_prob
+        if rc:
+            read = revcomp(read)
+        reads.append(read)
+        is_rc.append(rc)
+    return reads, pos, np.asarray(is_rc)
+
+
 def write_fastq(path: str, reads: np.ndarray, names: list[str] | None = None,
                 qual: int = ord("I")):
     num, length = reads.shape
