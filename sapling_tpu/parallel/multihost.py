@@ -1,0 +1,113 @@
+"""Multi-host orchestration: replicated index, sharded reads, ordered SAM.
+
+The reference has no distributed anything (SURVEY.md §2: inter-tool
+communication is files on disk). The TPU-native scale-out:
+
+  * `jax.distributed.initialize` connects N hosts; each host builds or
+    loads the SAME index artifact (read-only, replicated — GRCh38 packs to
+    ~1.2 GB packed genome + 12 GB rank arrays per host).
+  * The FASTQ is split into per-host shards by record round-robin blocks
+    (deterministic given num_hosts), each host aligns its shard on its
+    local chips (dp over lanes), and writes SAM records tagged with their
+    global record index.
+  * SAM shards concatenate in record order, so the final file is
+    byte-identical to a single-host run — the reference's single-stream
+    output contract, kept under data parallelism.
+
+On a single machine this degrades gracefully: one host, shard 0 of 1.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def initialize_distributed(coordinator: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> tuple[int, int]:
+    """Connect to the pod job (no-op single-host fallback). Returns
+    (process_id, num_processes)."""
+    import jax
+
+    if coordinator and num_processes and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index(), jax.process_count()
+
+
+def shard_bounds(num_records: int, num_shards: int, shard: int) -> tuple[int, int]:
+    """Contiguous block shard [lo, hi) — record order preserved across the
+    concatenation of shards 0..num_shards-1."""
+    per = (num_records + num_shards - 1) // num_shards
+    lo = min(shard * per, num_records)
+    return lo, min(lo + per, num_records)
+
+
+def split_fastq(path: str, num_shards: int, out_dir: str) -> list[str]:
+    """Split a FASTQ into contiguous per-shard files. Returns paths in
+    shard order."""
+    from ..io.fastq import read_fastq
+
+    reads = list(read_fastq(path))
+    os.makedirs(out_dir, exist_ok=True)
+    outs = []
+    for s in range(num_shards):
+        lo, hi = shard_bounds(len(reads), num_shards, s)
+        p = os.path.join(out_dir, f"shard{s:04d}.fq")
+        with open(p, "w") as f:
+            for rd in reads[lo:hi]:
+                f.write(f"@{rd.name}\n{rd.seq.decode()}\n+\n{rd.qual}\n")
+        outs.append(p)
+    return outs
+
+
+def align_shard(index, fastq_shard: str, out_sam_body: str, cfg=None) -> None:
+    """Align one shard, emitting SAM RECORDS ONLY (no header) so shards
+    concatenate."""
+    from ..align.aligner import SeedExtendAligner
+    from ..io.fastq import read_fastq
+
+    aligner = SeedExtendAligner(index, cfg)
+    with open(out_sam_body, "w") as f:
+        buf = list(read_fastq(fastq_shard))
+        for ar in aligner.align_block(buf):
+            f.write(ar.to_sam())
+
+
+def merge_sam(header: str, shard_bodies: list[str], out_path: str) -> None:
+    """Deterministic in-order concatenation — byte-identical to a
+    single-stream run."""
+    with open(out_path, "w") as f:
+        f.write(header)
+        for p in shard_bodies:
+            with open(p) as g:
+                f.write(g.read())
+
+
+def align_fastq_multihost(index, fastq: str, out_sam: str, cl: str,
+                          cfg=None, work_dir: str | None = None) -> None:
+    """Full multi-host FASTQ -> SAM: every process aligns its shard; the
+    lead process (0) merges. Single-process runs do the whole file."""
+    import jax
+
+    from ..align.sam import sam_header
+
+    pid, n = jax.process_index(), jax.process_count()
+    work = work_dir or (out_sam + ".shards")
+    os.makedirs(work, exist_ok=True)
+    shards = split_fastq(fastq, n, work)
+    body = os.path.join(work, f"body{pid:04d}.sam")
+    align_shard(index, shards[pid], body, cfg)
+    if n > 1:
+        # cheap cross-host barrier over the existing mesh
+        import jax.numpy as jnp
+
+        jax.block_until_ready(
+            jax.pmap(lambda x: jax.lax.psum(x, "i"), axis_name="i")(
+                jnp.ones((jax.local_device_count(),))))
+    if pid == 0:
+        bodies = [os.path.join(work, f"body{s:04d}.sam") for s in range(n)]
+        merge_sam(sam_header(index.chr_ends, cl), bodies, out_sam)

@@ -1,0 +1,109 @@
+"""Artifact interop with the reference implementation.
+
+Both directions:
+  * reference-built .sa is loaded by our from_fasta (exercised implicitly
+    by test_aligner byte-parity, and directly here);
+  * OUR .sa and .sap are byte-identical to what the reference's own build
+    produces, and the reference benchmark binary loads our files and
+    passes its 100% self-check without rebuilding.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from sapling_tpu.config import IndexConfig
+from sapling_tpu.index.sapling import SaplingIndex
+from sapling_tpu.index.suffix_array import build_suffix_data
+from sapling_tpu.io import artifacts
+from sapling_tpu.io.fasta import write_fasta
+from sapling_tpu.sim.genomes import uniform_genome
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+BUILD = os.path.join(HERE, "_build")
+REF_SRC = "/root/reference/src"
+
+
+@pytest.fixture(scope="module")
+def ref_example_bin():
+    os.makedirs(BUILD, exist_ok=True)
+    exe = os.path.join(BUILD, "sapling_example")
+    if not os.path.exists(exe):
+        res = subprocess.run(
+            ["g++", "-O2", "-std=c++11", "-o", exe,
+             os.path.join(REF_SRC, "sapling_example.cpp"), "-I", REF_SRC],
+            capture_output=True, text=True)
+        if res.returncode != 0:
+            pytest.skip(f"reference build failed: {res.stderr}")
+    return exe
+
+
+def test_artifacts_byte_identical_and_loadable(ref_example_bin, tmp_path):
+    g = uniform_genome(60_000, seed=11)
+    ours = tmp_path / "ours"
+    theirs = tmp_path / "theirs"
+    ours.mkdir()
+    theirs.mkdir()
+    for d in (ours, theirs):
+        write_fasta(str(d / "ref.fa"), [("chr1", bytes(g))])
+
+    # our build -> reference-format artifacts
+    suffix = build_suffix_data(g)
+    idx = SaplingIndex.build(g, IndexConfig(k=21), suffix=suffix)
+    our_sa = str(ours / "ref.fa.sa")
+    our_sap = str(ours / "ref.fa.sap")
+    idx.write_reference_artifacts(our_sa, our_sap, suffix=suffix)
+
+    # reference builds its own from scratch (writes .sa/.sap next to fasta)
+    res = subprocess.run(
+        [ref_example_bin, str(theirs / "ref.fa"), "nq=1000"],
+        capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr
+    assert "1000 out of 1000" in res.stdout
+
+    ref_sa = (theirs / "ref.fa.sa").read_bytes()
+    ref_sap = (theirs / "ref.fa.sap").read_bytes()
+    assert open(our_sa, "rb").read() == ref_sa, ".sa bytes differ"
+    assert open(our_sap, "rb").read() == ref_sap, ".sap bytes differ"
+
+    # reference binary must load OUR artifacts without rebuilding and pass
+    # its own self-check
+    res = subprocess.run(
+        [ref_example_bin, str(ours / "ref.fa"), "nq=1000"],
+        capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr
+    assert "Reading Sapling from file" in res.stdout
+    assert "1000 out of 1000" in res.stdout
+
+    # and we load THEIR .sa transparently
+    idx2 = SaplingIndex.from_fasta(str(theirs / "ref.fa"),
+                                   IndexConfig(k=21), cache=False)
+    rng = np.random.default_rng(0)
+    starts = rng.integers(0, idx2.n - 21, 500)
+    codes = idx2.codes[starts[:, None] + np.arange(21)]
+    pos = idx2.query_positions(codes)
+    assert idx2.verify_hits(codes, pos).all()
+
+
+def test_sap_roundtrip_quirk():
+    """buckets <= 30 uses a 32-bit size field (reference:
+    src/sapling_api.h:619-636,659-667)."""
+    xl = np.arange((1 << 5) + 1, dtype=np.int64)
+    yl = xl * 3
+    import io as _io
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.sap")
+        artifacts.write_sap(p, 5, xl, yl, 7, 8, 1, 2, 3)
+        b, x2, y2, stats = artifacts.read_sap(p)
+        assert b == 5 and stats == (7, 8, 1, 2, 3)
+        np.testing.assert_array_equal(x2, xl)
+        np.testing.assert_array_equal(y2, yl)
+        # header: 4-byte buckets + 4-byte size for buckets<=30
+        raw = open(p, "rb").read()
+        assert len(raw) == 4 + 4 + 2 * 8 * 33 + 20
