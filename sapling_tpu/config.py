@@ -16,7 +16,9 @@ class IndexConfig:
     buckets: int = -1           # log2 #bins; -1 = auto from max_mem (:29, :387-391)
     max_mem: int = 10           # bins <= genome_len / max_mem when auto (:31)
     most_threshold: float = 0.95  # error bound percentile (:35)
-    pos_dtype: str = "auto"     # "int32" | "int64" | "auto" (int32 iff n < 2^31)
+    pos_dtype: str = "auto"     # int32 / uint32 / int64 by genome size
+    prefix_lookup: bool = True  # build uint64 per-rank 32-base prefixes
+    prefix_max_n: int = 1_500_000_000  # skip when rev+prefix exceed HBM
 
     def resolved_buckets(self, n: int) -> int:
         if self.buckets != -1:

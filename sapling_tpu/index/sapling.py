@@ -25,11 +25,21 @@ from .suffix_array import SuffixData, build_suffix_data, lcp_ge_k_runs, pack_bit
 
 
 def _pos_dtype(n: int, cfg: str = "auto"):
-    if cfg == "int32":
+    """Rank/position STORAGE dtype. uint32 covers 2^31 <= n < 2^32
+    (GRCh38-scale rev fits one chip's HBM at 4 B/rank); query-lane state
+    promotes to signed int64 on gather (ops.query._state_dtype)."""
+    if cfg in ("int32", "int64", "uint32"):
+        return np.dtype(cfg).type
+    if n < np.iinfo(np.int32).max:
         return np.int32
-    if cfg == "int64":
-        return np.int64
-    return np.int32 if n < np.iinfo(np.int32).max else np.int64
+    if n < np.iinfo(np.uint32).max - 1:
+        return np.uint32
+    return np.int64
+
+
+def _build_dtype(pdt):
+    """The native SA-IS builder emits int32/int64 only."""
+    return np.int64 if np.dtype(pdt) == np.uint32 else pdt
 
 
 @dataclass
@@ -43,6 +53,7 @@ class SaplingIndex:
     table: PwlTable
     chr_ends: list[tuple[int, str]] = field(default_factory=list)
     codes: np.ndarray | None = None       # uint8 0..3 (host; optional)
+    prefix64: np.ndarray | None = None    # uint64 per-rank 32-base prefixes
     lcpk_fwd: np.ndarray | None = None    # forward run of lcp>=k (aligner)
     lcpk_bwd: np.ndarray | None = None    # backward run of lcp>=k
     _device: dict = field(default_factory=dict, repr=False)
@@ -66,17 +77,21 @@ class SaplingIndex:
         buckets = cfg.resolved_buckets(n)
         pdt = _pos_dtype(n, cfg.pos_dtype)
         if suffix is None:
-            suffix = build_suffix_data(seq, pdt)
+            suffix = build_suffix_data(seq, _build_dtype(pdt))
         codes = packops.encode_bases(seq)
         table = build_pwl(codes, suffix.inv, suffix.lcp, cfg.k, buckets,
                           cfg.most_threshold)
         packed = packops.pack_codes(codes, pad_words=16)
         rev = np.empty(n, dtype=pdt)
         rev[suffix.inv] = np.arange(n, dtype=pdt)
+        # probe-acceleration prefixes: 8 B/rank; auto-skip when they would
+        # not fit HBM alongside rev (GRCh38-scale)
+        prefix64 = (packops.rank_prefix64(codes, rev)
+                    if cfg.prefix_lookup and n <= cfg.prefix_max_n else None)
         idx = cls(
             n=n, k=cfg.k, buckets=buckets, packed=packed, rev=rev,
             inv=suffix.inv.astype(pdt), table=table, chr_ends=list(chr_ends),
-            codes=codes,
+            codes=codes, prefix64=prefix64,
         )
         if keep_aligner_arrays:
             fwd, bwd = lcp_ge_k_runs(suffix.lcp, cfg.k)
@@ -98,14 +113,15 @@ class SaplingIndex:
             return cls.load(npz)
         sa_path = path + ".sa"
         pdt = _pos_dtype(genome.n, cfg.pos_dtype)
+        bdt = _build_dtype(pdt)
         if os.path.exists(sa_path):
             inv64, lcp64 = artifacts.read_sa(sa_path)
-            inv = inv64.astype(pdt)
-            sa = np.empty(genome.n, dtype=pdt)
-            sa[inv] = np.arange(genome.n, dtype=pdt)
-            suffix = SuffixData(sa=sa, inv=inv, lcp=lcp64.astype(pdt))
+            inv = inv64.astype(bdt)
+            sa = np.empty(genome.n, dtype=bdt)
+            sa[inv] = np.arange(genome.n, dtype=bdt)
+            suffix = SuffixData(sa=sa, inv=inv, lcp=lcp64.astype(bdt))
         else:
-            suffix = build_suffix_data(genome.seq, pdt)
+            suffix = build_suffix_data(genome.seq, bdt)
             if cache:
                 artifacts.write_sa(sa_path, suffix.inv, suffix.lcp)
         idx = cls.build(genome, cfg, suffix=suffix)
@@ -129,6 +145,8 @@ class SaplingIndex:
                             self.table.most_under], dtype=np.int64),
             chr_end_pos=ends, chr_end_name=names,
             codes=self.codes if self.codes is not None else np.zeros(0, np.uint8),
+            prefix64=(self.prefix64 if self.prefix64 is not None
+                      else np.zeros(0, np.uint64)),
             lcpk_fwd=self.lcpk_fwd if self.lcpk_fwd is not None else np.zeros(0, np.uint8),
             lcpk_bwd=self.lcpk_bwd if self.lcpk_bwd is not None else np.zeros(0, np.uint8),
         )
@@ -149,6 +167,8 @@ class SaplingIndex:
             packed=z["packed"], rev=z["rev"], inv=z["inv"], table=table,
             chr_ends=chr_ends,
             codes=z["codes"] if z["codes"].size else None,
+            prefix64=(z["prefix64"] if "prefix64" in z and z["prefix64"].size
+                      else None),
             lcpk_fwd=z["lcpk_fwd"] if z["lcpk_fwd"].size else None,
             lcpk_bwd=z["lcpk_bwd"] if z["lcpk_bwd"].size else None,
         )
@@ -178,6 +198,8 @@ class SaplingIndex:
                 "rev": jnp.asarray(self.rev),
                 "xlist": jnp.asarray(self.table.xlist),
                 "ylist": jnp.asarray(self.table.ylist),
+                "prefix": (jnp.asarray(self.prefix64)
+                           if self.prefix64 is not None else None),
             }
         return self._device
 
@@ -197,7 +219,7 @@ class SaplingIndex:
         t = self.table
         out = plquery_batch(
             dev["packed"], dev["rev"], dev["xlist"], dev["ylist"],
-            q_words, x,
+            q_words, x, dev.get("prefix"),
             n=self.n, length=int(codes2d.shape[1]), k=self.k,
             buckets=self.buckets,
             most_over=t.most_over, most_under=t.most_under,

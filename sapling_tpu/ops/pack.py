@@ -101,6 +101,30 @@ def kmerize_adjusted(codes: np.ndarray, length: int, k: int) -> int:
     return v << (ALPHA * (k - length - 1))
 
 
+def rank_prefix64(codes: np.ndarray, rev: np.ndarray,
+                  chunk: int = 1 << 22) -> np.ndarray:
+    """uint64[n] per-RANK suffix prefixes: the first 32 bases of the suffix
+    at each suffix-array rank, packed big-endian (base j in bits
+    [62-2j, 63-2j]); suffixes shorter than 32 are zero-padded.
+
+    This is the probe-acceleration array: one 8-byte gather decides any
+    <=32-base lexicographic comparison against a suffix (see
+    ops.query.make_rank_probe), replacing the dependent rev->packed-genome
+    gather chain in the hot search loop.
+    """
+    n = codes.shape[0]
+    padded = np.concatenate([codes, np.zeros(32, np.uint8)])
+    out = np.empty(n, dtype=np.uint64)
+    shifts = (np.uint64(62) - np.uint64(2) * np.arange(32, dtype=np.uint64))
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        pos = rev[lo:hi].astype(np.int64)
+        window = padded[pos[:, None] + np.arange(32)]     # [c, 32]
+        out[lo:hi] = (window.astype(np.uint64) << shifts).sum(
+            axis=1, dtype=np.uint64)
+    return out
+
+
 def pack_queries(codes: np.ndarray) -> np.ndarray:
     """Pack a batch of equal-length queries [B, L] into words [B, ceil(L/16)].
 

@@ -36,6 +36,8 @@ class ShardedQueryEngine:
         self.mesh = mesh
         rep = replicated(mesh)
         t = index.table
+        self.prefix = (jax.device_put(index.prefix64, rep)
+                       if index.prefix64 is not None else None)
         self.packed = jax.device_put(index.packed, rep)
         self.rev = jax.device_put(index.rev, rep)
         self.xlist = jax.device_put(t.xlist, rep)
@@ -56,6 +58,7 @@ class ShardedQueryEngine:
         t = idx.table
         out = plquery_batch(
             self.packed, self.rev, self.xlist, self.ylist, qs, xs,
+            self.prefix,
             n=idx.n, length=int(codes2d.shape[1]), k=idx.k,
             buckets=idx.buckets,
             most_over=t.most_over, most_under=t.most_under,

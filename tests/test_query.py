@@ -105,3 +105,113 @@ def test_query_length_sweep_self_check():
             s = bytes(q[i])
             want = o.pl_query(s, o.kmerize_adjusted(length, s), length)
             assert got[i] == want
+
+
+def test_window_scan_equals_sequential_path():
+    """The wide-window fast path must return bit-identical positions to
+    the sequential probe cascade on genomes with heavy duplication,
+    boundary predictions, and absent queries."""
+    import numpy as np
+
+    from sapling_tpu.config import IndexConfig
+    from sapling_tpu.index.sapling import SaplingIndex
+    from sapling_tpu.ops import pack as packops
+    from sapling_tpu.ops.query import plquery_batch
+    from sapling_tpu.sim.genomes import repeat_genome, uniform_genome
+
+    g = np.concatenate([
+        uniform_genome(30_000, seed=41),
+        repeat_genome(6_000, 13, seed=42),
+        uniform_genome(4_000, seed=43),
+    ])
+    idx = SaplingIndex.build(g, IndexConfig(k=21))
+    rng = np.random.default_rng(17)
+    for length in (11, 21, 31, 60):
+        m = idx.n - length + 1
+        starts = rng.integers(0, m, 4000)
+        codes = idx.codes[starts[:, None] + np.arange(length)]
+        # mix in absent queries + extreme-rank patterns
+        codes[:50] = rng.integers(0, 4, (50, length))
+        codes[50:60] = 0   # poly-A -> rank ~0 boundary
+        codes[60:70] = 3   # poly-T -> rank ~n boundary
+        qw = packops.pack_queries(codes)
+        x = packops.batch_kmers_adjusted(codes, idx.k)
+        t = idx.table
+        kw = dict(n=idx.n, length=length, k=idx.k, buckets=idx.buckets,
+                  most_over=t.most_over, most_under=t.most_under,
+                  max_over=t.max_over, max_under=t.max_under)
+        fast = np.asarray(plquery_batch(
+            idx.packed, idx.rev, t.xlist, t.ylist, qw, x,
+            window_scan=True, **kw))
+        slow = np.asarray(plquery_batch(
+            idx.packed, idx.rev, t.xlist, t.ylist, qw, x,
+            window_scan=False, **kw))
+        np.testing.assert_array_equal(fast, slow)
+
+
+def test_uint32_rank_storage_matches_int32():
+    """uint32 rev/inv storage (GRCh38-scale memory layout) must produce
+    identical positions through both query kernels."""
+    import numpy as np
+
+    from sapling_tpu.config import IndexConfig
+    from sapling_tpu.index.sapling import SaplingIndex
+    from sapling_tpu.sim.genomes import uniform_genome
+
+    g = uniform_genome(30_000, seed=91)
+    a = SaplingIndex.build(g, IndexConfig(k=21, pos_dtype="int32"))
+    b = SaplingIndex.build(g, IndexConfig(k=21, pos_dtype="uint32"))
+    assert b.rev.dtype == np.uint32 and b.inv.dtype == np.uint32
+    rng = np.random.default_rng(2)
+    starts = rng.integers(0, a.n - 21, 2000)
+    codes = a.codes[starts[:, None] + np.arange(21)]
+    codes[:40] = rng.integers(0, 4, (40, 21))  # absent queries too
+    pa = a.query_positions(codes)
+    pb = b.query_positions(codes)
+    np.testing.assert_array_equal(pa, pb)
+    np.testing.assert_array_equal(
+        a.query_positions_binsearch(codes), b.query_positions_binsearch(codes))
+
+
+def test_prefix_probe_equals_packed_probe():
+    """The uint64 per-rank prefix probe path must return bit-identical
+    positions to the packed-genome probe path, including absent queries
+    and genome-end boundary suffixes."""
+    import numpy as np
+
+    from sapling_tpu.config import IndexConfig
+    from sapling_tpu.index.sapling import SaplingIndex
+    from sapling_tpu.ops import pack as packops
+    from sapling_tpu.ops.query import plquery_batch
+    from sapling_tpu.sim.genomes import repeat_genome, uniform_genome
+
+    g = np.concatenate([uniform_genome(25_000, seed=51),
+                        repeat_genome(5_000, 9, seed=52)])
+    idx = SaplingIndex.build(g, IndexConfig(k=21))
+    assert idx.prefix64 is not None
+    import jax.numpy as jnp
+
+    pref = jnp.asarray(idx.prefix64)
+    rng = np.random.default_rng(3)
+    for length in (11, 16, 21, 31, 32):
+        m = idx.n - length + 1
+        starts = rng.integers(0, m, 3000)
+        codes = idx.codes[starts[:, None] + np.arange(length)]
+        codes[:60] = rng.integers(0, 4, (60, length))
+        codes[60:70] = 0
+        codes[70:80] = 3
+        # queries matching at the genome tail (short-suffix pad handling)
+        for j in range(80, 90):
+            s = idx.n - length - (j - 80)
+            codes[j] = idx.codes[s : s + length]
+        qw = packops.pack_queries(codes)
+        x = packops.batch_kmers_adjusted(codes, idx.k)
+        t = idx.table
+        kw = dict(n=idx.n, length=length, k=idx.k, buckets=idx.buckets,
+                  most_over=t.most_over, most_under=t.most_under,
+                  max_over=t.max_over, max_under=t.max_under)
+        fast = np.asarray(plquery_batch(
+            idx.packed, idx.rev, t.xlist, t.ylist, qw, x, pref, **kw))
+        slow = np.asarray(plquery_batch(
+            idx.packed, idx.rev, t.xlist, t.ylist, qw, x, None, **kw))
+        np.testing.assert_array_equal(fast, slow, err_msg=f"length={length}")
