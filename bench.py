@@ -81,12 +81,13 @@ def main():
     # through the axon tunnel costs ~0.2s and is not the engine.
     q_words = jax.device_put(packops.pack_queries(codes2d))
     x = jax.device_put(packops.batch_kmers_adjusted(codes2d, K))
+    q3 = jax.device_put(packops.pack_queries3(codes2d))
     darr = idx.device_arrays()
 
     def run_pl(qw, xx):
         return plquery_batch(
             darr["packed"], darr["rev"], darr["xlist"], darr["ylist"], qw, xx,
-            darr.get("prefix"),
+            darr.get("prefix"), darr.get("prefix3"), q3,
             n=idx.n, length=K, k=idx.k, buckets=idx.buckets,
             most_over=t.most_over, most_under=t.most_under,
             max_over=t.max_over, max_under=t.max_under,

@@ -81,15 +81,24 @@ def build_checkpoints(kmers: np.ndarray, y: np.ndarray, kbits: int, buckets: int
     ylist = np.zeros(nb + 1, dtype=np.int64)
     if kmers.shape[0]:
         order = np.argsort(kmers, kind="stable")
-        xs = kmers[order]
-        bs = (xs >> shift).astype(np.int64)
-        first = np.flatnonzero(np.diff(bs, prepend=np.int64(-1)))
-        xlist[bs[first]] = xs[first]
-        ylist[bs[first]] = y[order[first]].astype(np.int64)
+        # chunked sweep over the sorted stream (multi-Gbp genomes: avoid
+        # materializing xs/bs as whole extra int64 arrays)
+        m = kmers.shape[0]
+        chunk = 1 << 26
+        prev_b = -1
+        for lo in range(0, m, chunk):
+            oc = order[lo : lo + chunk]
+            xs = kmers[oc]
+            bs = (xs >> shift).astype(np.int64)
+            first = np.flatnonzero(np.diff(bs, prepend=np.int64(prev_b)))
+            xlist[bs[first]] = xs[first]
+            ylist[bs[first]] = y[oc[first]].astype(np.int64)
+            prev_b = int(bs[-1])
         # final checkpoint: maximum x, earliest occurrence (strict-greater
         # update in the reference loop keeps the first occurrence :429-433).
-        xmax = xs[-1]
-        pos_first_max = order[np.searchsorted(xs, xmax, side="left")]
+        xmax = int(kmers[order[-1]])
+        cnt = int(np.count_nonzero(kmers == xmax))
+        pos_first_max = order[m - cnt]
         xlist[nb] = xmax
         ylist[nb] = int(y[pos_first_max])
     # empty-bucket fill (:436-449)
@@ -113,43 +122,55 @@ def error_audit(
     k: int,
     buckets: int,
     n: int,
+    chunk: int = 1 << 26,
+    fwd: np.ndarray | None = None,
 ) -> ErrorAudit:
-    """Sweep 2: predict every genome k-mer, record the signed shifted error."""
+    """Sweep 2: predict every genome k-mer, record the signed shifted
+    error. Chunked so multi-Gbp genomes stay within host RAM (the int64
+    temporaries would otherwise be ~8 arrays x n x 8 B). Pass precomputed
+    `fwd` (lcp>=k forward runs) to skip re-deriving them from lcp."""
     m = kmers.shape[0]
     kbits = ALPHA * k
-    pred = predict_pwl(kmers, xlist, ylist, kbits, buckets, n, xp=np)
-    y = inv[:m].astype(np.int64)
-    fwd, _bwd = lcp_ge_k_runs(lcp, k)
-    fwd_full = np.zeros(n, dtype=np.int64)
-    fwd_full[: fwd.shape[0]] = fwd.astype(np.int64)
-    # under-shot actual (y < pred): shift y up toward pred, bounded by the
-    # lcp>=k run (all intermediate ranks share the k-prefix).
-    y_shift = np.where(y < pred, np.minimum(pred, y + fwd_full[y]), y)
-    err = (y_shift - pred).astype(np.int64)
-    return ErrorAudit(
-        errors=err.astype(np.int32),
-        perfect_predictions=int(np.count_nonzero(err == 0)),
-    )
+    if fwd is None:
+        fwd, _bwd = lcp_ge_k_runs(lcp, k)
+    errors = np.empty(m, dtype=np.int32)
+    perfect = 0
+    fwd_len = fwd.shape[0]
+    for lo in range(0, m, chunk):
+        hi = min(lo + chunk, m)
+        pred = predict_pwl(kmers[lo:hi], xlist, ylist, kbits, buckets, n,
+                           xp=np)
+        y = inv[lo:hi].astype(np.int64)
+        yc = np.minimum(y, fwd_len - 1) if fwd_len else y * 0
+        runs = np.where(y < fwd_len, fwd[yc].astype(np.int64), 0) \
+            if fwd_len else np.zeros_like(y)
+        # under-shot actual (y < pred): shift y up toward pred, bounded by
+        # the lcp>=k run (all intermediate ranks share the k-prefix).
+        y_shift = np.where(y < pred, np.minimum(pred, y + runs), y)
+        err = y_shift - pred
+        errors[lo:hi] = err.astype(np.int32)
+        perfect += int(np.count_nonzero(err == 0))
+    return ErrorAudit(errors=errors, perfect_predictions=perfect)
 
 
 def error_stats(audit: ErrorAudit, most_threshold: float = 0.95):
     """errorStats (reference :342-379), including its exact integer/index
     truncation semantics."""
-    err = audit.errors.astype(np.int64)
+    err = audit.errors  # int32; sums accumulate in int64
     overs = err[err > 0]
     unders = -err[err < 0]
     n_total = overs.size + unders.size + audit.perfect_predictions
     max_over = int(overs.max()) if overs.size else 0
     max_under = int(unders.max()) if unders.size else 0
-    tot = int(np.abs(overs).sum()) + int(np.abs(unders).sum())
+    tot = int(overs.sum(dtype=np.int64)) + int(unders.sum(dtype=np.int64))
     max_under = max(max_under, 2)
     max_over = max(max_over, 2)
     mean_error = int(0.5 + tot // n_total) if n_total else 0  # C++ integer div
-    overs_sorted = np.sort(overs)
-    unders_sorted = np.sort(unders)
-    most_over = int(overs_sorted[int(most_threshold * overs.size)]) if overs.size else 0
+    overs.sort()   # in place: overs/unders are local copies; at multi-Gbp
+    unders.sort()  # scale a second sorted copy would be ~12 GB each
+    most_over = int(overs[int(most_threshold * overs.size)]) if overs.size else 0
     most_under = (
-        int(unders_sorted[int(most_threshold * unders.size)]) if unders.size else 0
+        int(unders[int(most_threshold * unders.size)]) if unders.size else 0
     )
     most_over = max(most_over, 1)
     most_under = max(most_under, 1)

@@ -54,6 +54,7 @@ class SaplingIndex:
     chr_ends: list[tuple[int, str]] = field(default_factory=list)
     codes: np.ndarray | None = None       # uint8 0..3 (host; optional)
     prefix64: np.ndarray | None = None    # uint64 per-rank 32-base prefixes
+    prefix3: np.ndarray | None = None     # uint64 per-rank 21-base 3-bit
     lcpk_fwd: np.ndarray | None = None    # forward run of lcp>=k (aligner)
     lcpk_bwd: np.ndarray | None = None    # backward run of lcp>=k
     _device: dict = field(default_factory=dict, repr=False)
@@ -86,12 +87,13 @@ class SaplingIndex:
         rev[suffix.inv] = np.arange(n, dtype=pdt)
         # probe-acceleration prefixes: 8 B/rank; auto-skip when they would
         # not fit HBM alongside rev (GRCh38-scale)
-        prefix64 = (packops.rank_prefix64(codes, rev)
-                    if cfg.prefix_lookup and n <= cfg.prefix_max_n else None)
+        want_prefix = cfg.prefix_lookup and n <= cfg.prefix_max_n
+        prefix64 = packops.rank_prefix64(codes, rev) if want_prefix else None
+        prefix3 = packops.rank_prefix3(codes, rev) if want_prefix else None
         idx = cls(
             n=n, k=cfg.k, buckets=buckets, packed=packed, rev=rev,
             inv=suffix.inv.astype(pdt), table=table, chr_ends=list(chr_ends),
-            codes=codes, prefix64=prefix64,
+            codes=codes, prefix64=prefix64, prefix3=prefix3,
         )
         if keep_aligner_arrays:
             fwd, bwd = lcp_ge_k_runs(suffix.lcp, cfg.k)
@@ -136,6 +138,7 @@ class SaplingIndex:
         names = np.array([nm for _, nm in self.chr_ends])
         artifacts.save_npz(
             path,
+            format_version=np.int64(2),
             n=np.int64(self.n), k=np.int64(self.k),
             buckets=np.int64(self.buckets),
             packed=self.packed, rev=self.rev, inv=self.inv,
@@ -147,13 +150,22 @@ class SaplingIndex:
             codes=self.codes if self.codes is not None else np.zeros(0, np.uint8),
             prefix64=(self.prefix64 if self.prefix64 is not None
                       else np.zeros(0, np.uint64)),
+            prefix3=(self.prefix3 if self.prefix3 is not None
+                     else np.zeros(0, np.uint64)),
             lcpk_fwd=self.lcpk_fwd if self.lcpk_fwd is not None else np.zeros(0, np.uint8),
             lcpk_bwd=self.lcpk_bwd if self.lcpk_bwd is not None else np.zeros(0, np.uint8),
         )
 
+    SUPPORTED_FORMATS = (1, 2)  # 1: pre-prefix3 artifacts (no field)
+
     @classmethod
     def load(cls, path: str) -> "SaplingIndex":
         z = artifacts.load_npz(path)
+        ver = int(z.get("format_version", 1))
+        if ver not in cls.SUPPORTED_FORMATS:
+            raise IOError(
+                f"{path}: unsupported index artifact format v{ver} "
+                f"(supported: {cls.SUPPORTED_FORMATS})")
         st = z["stats"]
         table = PwlTable(
             buckets=int(z["buckets"]), xlist=z["xlist"], ylist=z["ylist"],
@@ -169,6 +181,8 @@ class SaplingIndex:
             codes=z["codes"] if z["codes"].size else None,
             prefix64=(z["prefix64"] if "prefix64" in z and z["prefix64"].size
                       else None),
+            prefix3=(z["prefix3"] if "prefix3" in z and z["prefix3"].size
+                     else None),
             lcpk_fwd=z["lcpk_fwd"] if z["lcpk_fwd"].size else None,
             lcpk_bwd=z["lcpk_bwd"] if z["lcpk_bwd"].size else None,
         )
@@ -200,6 +214,8 @@ class SaplingIndex:
                 "ylist": jnp.asarray(self.table.ylist),
                 "prefix": (jnp.asarray(self.prefix64)
                            if self.prefix64 is not None else None),
+                "prefix3": (jnp.asarray(self.prefix3)
+                            if self.prefix3 is not None else None),
             }
         return self._device
 
@@ -216,10 +232,14 @@ class SaplingIndex:
         dev = self.device_arrays()
         q_words = packops.pack_queries(codes2d)
         x = self.kmerize_batch(codes2d)
+        length = int(codes2d.shape[1])
+        q3 = (packops.pack_queries3(codes2d)
+              if dev.get("prefix3") is not None
+              and length <= min(self.k, packops.P3_BASES) else None)
         t = self.table
         out = plquery_batch(
             dev["packed"], dev["rev"], dev["xlist"], dev["ylist"],
-            q_words, x, dev.get("prefix"),
+            q_words, x, dev.get("prefix"), dev.get("prefix3"), q3,
             n=self.n, length=int(codes2d.shape[1]), k=self.k,
             buckets=self.buckets,
             most_over=t.most_over, most_under=t.most_under,

@@ -25,8 +25,8 @@ namespace {
 
 // SA-IS over a string that ends in a unique smallest sentinel s[n-1] == 0.
 // I: index type. Symbols are stored as I as well (uniform at all levels).
-template <typename I>
-static void sais(const I* s, I* sa, I n, I K) {
+template <typename T, typename I>
+static void sais(const T* s, I* sa, I n, I K) {
   const I EMPTY = (I)-1;
   // --- classify L/S types -------------------------------------------------
   std::vector<bool> is_s((size_t)n);
@@ -117,7 +117,7 @@ static void sais(const I* s, I* sa, I n, I K) {
 
   // --- step 3: recurse if names are not yet unique -------------------------
   if (name < m) {
-    sais<I>(s1, sa, m, name - 1);
+    sais<I, I>(s1, sa, m, name - 1);
   } else {
     for (I i = 0; i < m; ++i) sa[(size_t)s1[i]] = i;
   }
@@ -143,16 +143,19 @@ static void sais(const I* s, I* sa, I n, I K) {
 }
 
 // Wrapper for byte input: shift symbols +1, append sentinel 0, run SA-IS and
-// drop the sentinel's (rank-0) entry.
+// drop the sentinel's (rank-0) entry. The level-0 text stays uint8 (the
+// +1 shift keeps every byte value in 1..255 with 0 reserved for the
+// sentinel) — at multi-Gbp scale an I-typed copy would cost n*8 bytes.
 template <typename I>
 static int sais_u8(const uint8_t* s, I* sa_out, int64_t n64) {
   I n = (I)n64;
   if (n == 0) return 0;
-  std::vector<I> t((size_t)n + 1);
-  for (I i = 0; i < n; ++i) t[(size_t)i] = (I)s[i] + 1;
+  std::vector<uint8_t> t((size_t)n + 1);
+  std::memcpy(t.data(), s, (size_t)n);
+  for (I i = 0; i < n; ++i) ++t[(size_t)i];
   t[(size_t)n] = 0;
   std::vector<I> sa((size_t)n + 1);
-  sais<I>(t.data(), sa.data(), n + 1, 256);
+  sais<uint8_t, I>(t.data(), sa.data(), n + 1, 256);
   // sa[0] == n (sentinel suffix); the rest is the SA of s.
   std::memcpy(sa_out, sa.data() + 1, sizeof(I) * (size_t)n);
   return 0;

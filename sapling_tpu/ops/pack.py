@@ -61,20 +61,25 @@ def unpack_words(words: np.ndarray, n: int) -> np.ndarray:
     return codes.reshape(-1)[:n]
 
 
-def kmers_scan(codes: np.ndarray, k: int) -> np.ndarray:
+def kmers_scan(codes: np.ndarray, k: int, chunk: int = 1 << 27) -> np.ndarray:
     """int64 2k-bit hash of every k-mer: out[i] = hash(codes[i:i+k]).
 
     Vectorized equivalent of the rolling-hash sweep in buildPiecewiseLinear
-    (reference: src/sapling_api.h:402-415). Length n-k+1.
+    (reference: src/sapling_api.h:402-415). Length n-k+1; chunked so
+    multi-Gbp genomes peak at ~2 extra int64 temporaries per chunk.
     """
     n = codes.shape[0]
     if n < k:
         return np.zeros(0, dtype=np.int64)
     m = n - k + 1
-    out = np.zeros(m, dtype=np.int64)
-    c = codes.astype(np.int64)
-    for j in range(k):
-        out |= c[j : j + m] << (ALPHA * (k - 1 - j))
+    out = np.empty(m, dtype=np.int64)
+    for lo in range(0, m, chunk):
+        hi = min(lo + chunk, m)
+        acc = np.zeros(hi - lo, dtype=np.int64)
+        for j in range(k):
+            acc <<= ALPHA
+            acc |= codes[lo + j : hi + j]
+        out[lo:hi] = acc
     return out
 
 
@@ -122,6 +127,47 @@ def rank_prefix64(codes: np.ndarray, rev: np.ndarray,
         window = padded[pos[:, None] + np.arange(32)]     # [c, 32]
         out[lo:hi] = (window.astype(np.uint64) << shifts).sum(
             axis=1, dtype=np.uint64)
+    return out
+
+
+P3_BASES = 21  # bases per 3-bit-packed prefix word (63 of 64 bits)
+
+
+def rank_prefix3(codes: np.ndarray, rev: np.ndarray,
+                 chunk: int = 1 << 22) -> np.ndarray:
+    """uint64[n] per-RANK suffix prefixes in SHIFTED 3-bit encoding: the
+    first 21 bases of the suffix at each rank, base j as (code+1) in bits
+    [60-3j, 62-3j]; positions past the genome end pack as 0.
+
+    Because the pad value 0 sorts BELOW every real base (A..T = 1..4), a
+    single unsigned compare of these words gives the reference's full
+    suffix-vs-query ordering INCLUDING the off-end-is-smaller rule
+    (reference: src/sapling_api.h:115-130) — no text position needed. One
+    8-byte gather therefore decides any <=21-base probe entirely.
+    """
+    n = codes.shape[0]
+    padded = np.concatenate(
+        [codes.astype(np.uint64) + 1, np.zeros(P3_BASES, np.uint64)])
+    out = np.empty(n, dtype=np.uint64)
+    shifts = (np.uint64(60)
+              - np.uint64(3) * np.arange(P3_BASES, dtype=np.uint64))
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        pos = rev[lo:hi].astype(np.int64)
+        window = padded[pos[:, None] + np.arange(P3_BASES)]
+        out[lo:hi] = (window << shifts).sum(axis=1, dtype=np.uint64)
+    return out
+
+
+def pack_queries3(codes: np.ndarray) -> np.ndarray:
+    """[B, L] query codes (L <= 21) -> uint64 [B] in the rank_prefix3
+    layout (shifted 3-bit bases, zero pad beyond L)."""
+    b, length = codes.shape
+    if length > P3_BASES:
+        raise ValueError(f"pack_queries3 supports length <= {P3_BASES}")
+    out = np.zeros(b, dtype=np.uint64)
+    for j in range(length):
+        out |= (codes[:, j].astype(np.uint64) + 1) << np.uint64(60 - 3 * j)
     return out
 
 

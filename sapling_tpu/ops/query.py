@@ -210,6 +210,40 @@ def make_rank_probe(packed, rev, prefix, q_words, *, n: int, length: int,
     return probe
 
 
+def make_rank_probe3(prefix3, q3, *, length: int):
+    """rank -> Probe via ONE uint64 gather (no text position).
+
+    prefix3/q3 use the shifted 3-bit encoding (ops.pack.rank_prefix3):
+    pad = 0 sorts below every base, so unsigned comparison alone yields
+    the reference's complete ordering including off-end-is-smaller.
+    Valid for length <= 21; the off_end flag is NOT computed (callers
+    restrict this path to length <= k, where the reference never consults
+    it — phase C is statically absent). Compare math in uint32 halves.
+    """
+    mask = 0
+    for j in range(length):
+        mask |= 7 << (60 - 3 * j)
+    mhi = jnp.uint32(mask >> 32)
+    mlo = jnp.uint32(mask & 0xFFFFFFFF)
+    qp = jax.lax.bitcast_convert_type(q3, jnp.uint32)
+    qlo = qp[..., 0] & mlo
+    qhi = qp[..., 1] & mhi
+
+    def probe(rank):
+        pv = jnp.take(prefix3, rank)
+        pp = jax.lax.bitcast_convert_type(pv, jnp.uint32)
+        plo = pp[..., 0] & mlo
+        phi = pp[..., 1] & mhi
+        hi_eq = phi == qhi
+        match = hi_eq & (plo == qlo)
+        q_gt = (qhi > phi) | (hi_eq & (qlo > plo))
+        smaller = ~match & q_gt
+        return Probe(match=match, smaller=smaller,
+                     off_end=jnp.zeros_like(match))
+
+    return probe
+
+
 def _state_dtype(storage_dtype):
     """Signed per-lane state dtype for a given rank-array storage dtype.
 
@@ -222,6 +256,70 @@ def _state_dtype(storage_dtype):
     if _np.dtype(storage_dtype) == _np.uint32:
         return jnp.int64
     return storage_dtype
+
+
+def _masked_binary_search2(probe_fn, lo, hi, res, resolved):
+    """Two reference bisection levels per gather round.
+
+    Probes the half-, quarter- and three-quarter-point ranks of every
+    active interval TOGETHER (one [3, B] gather round), then replays the
+    reference binarySearch's exact decision sequence
+    (src/sapling_api.h:133-153) twice — including its hi==lo+2 base case,
+    whose unprobed rev[lo+1] return coincides with the quarter-point
+    probes (lo1+1 == m1 on the left, m2+1 == m3 on the right, both
+    guaranteed when the half-interval has size 2). Identical results to
+    the one-level loop in half the rounds; the engine is
+    gather-round-latency bound (docs/PERFORMANCE.md).
+    """
+    neg = jnp.array(-1, res.dtype)
+
+    def cond(st):
+        return ~st[3].all()
+
+    def body(st):
+        lo, hi, res, resolved = st
+        active = ~resolved
+        base2 = hi == lo + 2
+        m2 = jnp.where(base2, lo + 1, lo + ((hi - lo) >> 1))
+        m1 = lo + ((m2 - lo) >> 1)
+        m3 = m2 + ((hi - m2) >> 1)
+        z = jnp.zeros_like(m1)
+        pos_1, p_1 = probe_fn(jnp.where(active, m1, z))
+        pos_2, p_2 = probe_fn(jnp.where(active, m2, z))
+        pos_3, p_3 = probe_fn(jnp.where(active, m3, z))
+        pos3 = (pos_1, pos_2, pos_3)
+        # level 1 at m2
+        mm, ms = p_2.match, p_2.smaller
+        now_base = active & base2
+        now_match = active & ~base2 & mm
+        now_fail = active & ~base2 & ~mm & (lo + 1 >= hi)
+        res = jnp.where(now_base | now_match, pos3[1], res)
+        res = jnp.where(now_fail, neg, res)
+        resolved = resolved | now_base | now_match | now_fail
+        go = active & ~(now_base | now_match | now_fail)
+        right = ms
+        lo1 = jnp.where(go & right, m2, lo)
+        hi1 = jnp.where(go & ~right, m2, hi)
+        # level 2 at m3 (right half) or m1 (left half)
+        mm2 = jnp.where(right, p_3.match, p_1.match)
+        ms2 = jnp.where(right, p_3.smaller, p_1.smaller)
+        mpos2 = jnp.where(right, pos3[2], pos3[0])
+        mid2 = jnp.where(right, m3, m1)
+        base2b = hi1 == lo1 + 2
+        nb = go & base2b
+        nmatch = go & ~base2b & mm2
+        nfail = go & ~base2b & ~mm2 & (lo1 + 1 >= hi1)
+        res = jnp.where(nb | nmatch, mpos2, res)
+        res = jnp.where(nfail, neg, res)
+        resolved = resolved | nb | nmatch | nfail
+        go2 = go & ~(nb | nmatch | nfail)
+        lo = jnp.where(go, jnp.where(go2 & ms2, mid2, lo1), lo)
+        hi = jnp.where(go, jnp.where(go2 & ~ms2, mid2, hi1), hi)
+        return lo, hi, res, resolved
+
+    lo, hi, res, resolved = jax.lax.while_loop(cond, body,
+                                               (lo, hi, res, resolved))
+    return res, resolved
 
 
 def _masked_binary_search(probe_fn, lo, hi, res, resolved):
@@ -255,24 +353,101 @@ def _masked_binary_search(probe_fn, lo, hi, res, resolved):
     return res, resolved
 
 
+def _plquery_fast3(rev, prefix3, q3, x, xlist, ylist, *, n, length, k,
+                   buckets, most_over, most_under, max_over, max_under, idt):
+    """plQuery via 3-bit prefix probes: ONE 8-byte gather per probe round,
+    suffix-array RANKS tracked throughout, a single rev gather at the end.
+    Exact reference decision sequence; valid for length <= min(k, 21)
+    (phase C, the only consumer of off_end, is statically absent)."""
+    probe = make_rank_probe3(prefix3, q3, length=length)
+    pred64 = predict_pwl(x, xlist, ylist, 2 * k, buckets, n)
+    pred = pred64.astype(idt)
+    neg1 = jnp.array(-1, idt)
+    rank_res = jnp.full(pred.shape, -1, dtype=idt)
+    pred_w = pred.astype(jnp.int64)
+    e_right = jnp.minimum(jnp.int64(n - 1), pred_w + most_over).astype(idt)
+    e_left = jnp.maximum(jnp.int64(0), pred_w - most_under).astype(idt)
+
+    p0 = probe(pred)
+    resolved = p0.match
+    rank_res = jnp.where(p0.match, pred, rank_res)
+    dir_right = p0.smaller
+
+    edge = jnp.where(dir_right, e_right, e_left)
+    pa = probe(jnp.where(resolved, 0, edge))
+    hit_a = ~resolved & pa.match
+    rank_res = jnp.where(hit_a, edge, rank_res)
+    resolved = resolved | hit_a
+    escalate = ~resolved & jnp.where(dir_right, pa.smaller,
+                                     ~pa.match & ~pa.smaller)
+    lo = jnp.where(dir_right, pred, e_left)
+    hi = jnp.where(dir_right, e_right, pred)
+
+    b_right = jnp.minimum(jnp.int64(n - 1), pred_w + max_over + 1).astype(idt)
+    b_left = jnp.maximum(jnp.int64(0), pred_w - max_under - 1).astype(idt)
+    bedge = jnp.where(dir_right, b_right, b_left)
+    pb = probe(jnp.where(escalate, bedge, 0))
+    hit_b = escalate & pb.match
+    rank_res = jnp.where(hit_b, bedge, rank_res)
+    resolved = resolved | hit_b
+    lo = jnp.where(escalate, jnp.where(dir_right, e_right, b_left), lo)
+    hi = jnp.where(escalate, jnp.where(dir_right, b_right, e_left), hi)
+
+    def cond(st):
+        return ~st[3].all()
+
+    def body(st):
+        lo, hi, rank_res, resolved = st
+        active = ~resolved
+        base2 = hi == lo + 2
+        mid = jnp.where(base2, lo + 1, lo + ((hi - lo) >> 1))
+        p = probe(jnp.where(active, mid, 0))
+        now_base = active & base2
+        now_match = active & ~base2 & p.match
+        now_fail = active & ~base2 & ~p.match & (lo + 1 >= hi)
+        rank_res = jnp.where(now_base | now_match, mid, rank_res)
+        resolved = resolved | now_base | now_match | now_fail
+        go = active & ~(now_base | now_match | now_fail)
+        lo = jnp.where(go & p.smaller, mid, lo)
+        hi = jnp.where(go & ~p.smaller, mid, hi)
+        return lo, hi, rank_res, resolved
+
+    _, _, rank_res, _ = jax.lax.while_loop(
+        cond, body, (lo, hi, rank_res, resolved))
+    found = rank_res >= 0
+    pos = jnp.take(rev, jnp.where(found, rank_res, 0)).astype(idt)
+    return jnp.where(found, pos, neg1)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n", "length", "k", "buckets", "most_over", "most_under",
         "max_over", "max_under", "max_stride_steps", "window_scan",
+        "multiprobe",
     ),
 )
 def plquery_batch(
-    packed, rev, xlist, ylist, q_words, x, prefix=None,
+    packed, rev, xlist, ylist, q_words, x, prefix=None, prefix3=None,
+    q3=None,
     *, n: int, length: int, k: int, buckets: int,
     most_over: int, most_under: int, max_over: int, max_under: int,
     max_stride_steps: int = 1 << 20, window_scan: bool | None = None,
+    multiprobe: bool = False,
 ):
     """Batched Sapling::plQuery (reference: src/sapling_api.h:159-248).
 
     Returns int [B] text positions, -1 where the reference returns -1.
     """
     idt = _state_dtype(rev.dtype)
+    from .pack import P3_BASES
+
+    if (prefix3 is not None and q3 is not None and length <= k
+            and length <= P3_BASES and not window_scan):
+        return _plquery_fast3(
+            rev, prefix3, q3, x, xlist, ylist, n=n, length=length, k=k,
+            buckets=buckets, most_over=most_over, most_under=most_under,
+            max_over=max_over, max_under=max_under, idt=idt)
     probe_rank = make_rank_probe(packed, rev, prefix, q_words,
                                  n=n, length=length, idt=idt)
     pred64 = predict_pwl(x, xlist, ylist, 2 * k, buckets, n)
@@ -351,6 +526,32 @@ def plquery_batch(
         # non-escalated lanes are fully decided; mark them resolved so the
         # remaining phases skip them (res already holds -1 on failures)
         resolved = resolved | ~escalate
+    elif multiprobe and prefix is not None and length <= 32:
+        # prefix probes vectorize over any rank shape: fuse the prediction
+        # probe and BOTH 'most'-window edge probes into one gather round
+        # (3 x 12 B/lane beats two dependent ~35 ms rounds — the engine is
+        # gather-round-latency bound, see docs/PERFORMANCE.md)
+        pos_p, pp = probe_rank(pred)
+        pos_l, pl = probe_rank(e_left)
+        pos_r, pr = probe_rank(e_right)
+        pos3 = (pos_p, pos_l, pos_r)
+        p3 = (pp, pl, pr)
+        idx0 = pos3[0]
+        m0, s0 = p3[0].match, p3[0].smaller
+        resolved = m0
+        res = jnp.where(m0, idx0, res)
+        dir_right = s0
+
+        edge_idx = jnp.where(dir_right, pos3[2], pos3[1])
+        em = jnp.where(dir_right, p3[2].match, p3[1].match)
+        es = jnp.where(dir_right, p3[2].smaller, p3[1].smaller)
+        hit_a = ~resolved & em
+        res = jnp.where(hit_a, edge_idx, res)
+        resolved = resolved | hit_a
+        escalate = ~resolved & jnp.where(dir_right, es, ~em & ~es)
+
+        lo = jnp.where(dir_right, pred, e_left)
+        hi = jnp.where(dir_right, e_right, pred)
     else:
         idx0, p0 = probe_rank(pred)
         resolved = p0.match
@@ -423,7 +624,12 @@ def plquery_batch(
         )
 
     # --- phase D: masked binary search (:245-247) ---------------------------
-    res, resolved = _masked_binary_search(probe_rank, lo, hi, res, resolved)
+    if multiprobe and prefix is not None and length <= 32:
+        res, resolved = _masked_binary_search2(probe_rank, lo, hi, res,
+                                               resolved)
+    else:
+        res, resolved = _masked_binary_search(probe_rank, lo, hi, res,
+                                              resolved)
     del resolved, neg1
     return res
 

@@ -38,6 +38,8 @@ class ShardedQueryEngine:
         t = index.table
         self.prefix = (jax.device_put(index.prefix64, rep)
                        if index.prefix64 is not None else None)
+        self.prefix3 = (jax.device_put(index.prefix3, rep)
+                        if index.prefix3 is not None else None)
         self.packed = jax.device_put(index.packed, rep)
         self.rev = jax.device_put(index.rev, rep)
         self.xlist = jax.device_put(t.xlist, rep)
@@ -49,17 +51,23 @@ class ShardedQueryEngine:
 
         idx = self.index
         ndp = self.mesh.shape["dp"]
+        length = int(codes2d.shape[1])
         q_words = packops.pack_queries(codes2d)
         x = packops.batch_kmers_adjusted(codes2d, idx.k)
         q_words, b = pad_to_multiple(q_words, ndp, 0)
         x, _ = pad_to_multiple(x, ndp, 0)
         qs = jax.device_put(q_words, dp_sharded(self.mesh, 2))
         xs = jax.device_put(x, dp_sharded(self.mesh, 1))
+        q3s = None
+        if (self.prefix3 is not None
+                and length <= min(idx.k, packops.P3_BASES)):
+            q3, _ = pad_to_multiple(packops.pack_queries3(codes2d), ndp, 0)
+            q3s = jax.device_put(q3, dp_sharded(self.mesh, 1))
         t = idx.table
         out = plquery_batch(
             self.packed, self.rev, self.xlist, self.ylist, qs, xs,
-            self.prefix,
-            n=idx.n, length=int(codes2d.shape[1]), k=idx.k,
+            self.prefix, self.prefix3, q3s,
+            n=idx.n, length=length, k=idx.k,
             buckets=idx.buckets,
             most_over=t.most_over, most_under=t.most_under,
             max_over=t.max_over, max_under=t.max_under,

@@ -41,7 +41,10 @@ def benchmark_genome(n: int, seed: int = 20260816) -> np.ndarray:
     """
     rng = np.random.default_rng(seed)
     p_each = np.array([0.2, 0.3, 0.3, 0.2])  # 60% GC
-    g = _BASES[rng.choice(4, size=n, p=p_each)]
+    g = np.empty(n, dtype=np.uint8)
+    for lo in range(0, n, 1 << 27):  # chunked: rng.choice allocs float64 n
+        hi = min(lo + (1 << 27), n)
+        g[lo:hi] = _BASES[rng.choice(4, size=hi - lo, p=p_each)]
     # segmental duplications: copy random 2-20kb windows elsewhere
     dup_bases = int(n * 0.10)
     placed = 0

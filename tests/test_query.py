@@ -215,3 +215,47 @@ def test_prefix_probe_equals_packed_probe():
         slow = np.asarray(plquery_batch(
             idx.packed, idx.rev, t.xlist, t.ylist, qw, x, None, **kw))
         np.testing.assert_array_equal(fast, slow, err_msg=f"length={length}")
+
+
+def test_prefix3_probe_equals_packed_probe():
+    """The 3-bit rank-prefix path (one gather per probe, rank-tracked)
+    must return bit-identical positions to the packed-genome path,
+    including absent queries and genome-tail suffixes."""
+    import numpy as np
+
+    from sapling_tpu.config import IndexConfig
+    from sapling_tpu.index.sapling import SaplingIndex
+    from sapling_tpu.ops import pack as packops
+    from sapling_tpu.ops.query import plquery_batch
+    from sapling_tpu.sim.genomes import repeat_genome, uniform_genome
+
+    g = np.concatenate([uniform_genome(25_000, seed=61),
+                        repeat_genome(5_000, 9, seed=62)])
+    idx = SaplingIndex.build(g, IndexConfig(k=21))
+    assert idx.prefix3 is not None
+    import jax.numpy as jnp
+
+    p3 = jnp.asarray(idx.prefix3)
+    rng = np.random.default_rng(9)
+    for length in (11, 16, 21):
+        m = idx.n - length + 1
+        starts = rng.integers(0, m, 3000)
+        codes = idx.codes[starts[:, None] + np.arange(length)]
+        codes[:60] = rng.integers(0, 4, (60, length))
+        codes[60:70] = 0
+        codes[70:80] = 3
+        for j in range(80, 90):  # tail suffixes exercise the pad ordering
+            s = idx.n - length - (j - 80)
+            codes[j] = idx.codes[s : s + length]
+        qw = packops.pack_queries(codes)
+        x = packops.batch_kmers_adjusted(codes, idx.k)
+        q3 = packops.pack_queries3(codes)
+        t = idx.table
+        kw = dict(n=idx.n, length=length, k=idx.k, buckets=idx.buckets,
+                  most_over=t.most_over, most_under=t.most_under,
+                  max_over=t.max_over, max_under=t.max_under)
+        fast = np.asarray(plquery_batch(
+            idx.packed, idx.rev, t.xlist, t.ylist, qw, x, None, p3, q3, **kw))
+        slow = np.asarray(plquery_batch(
+            idx.packed, idx.rev, t.xlist, t.ylist, qw, x, **kw))
+        np.testing.assert_array_equal(fast, slow, err_msg=f"length={length}")

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""GRCh38-scale index build with a memory-lean staging pipeline.
+
+Builds the full learned index for a multi-Gbp genome (default 3.1 Gbp —
+GRCh38 scale, the reference's headline benchmark genome) within ~100 GB
+host RAM by freeing each stage's inputs as soon as the next stage no
+longer needs them, and storing ranks as uint32
+(2^31 <= n < 2^32; the 12.4 GB rev array then fits one TPU v5e chip's
+HBM next to the 0.8 GB packed genome and the PWL table).
+
+    python tools/build_big_index.py [n=3100000000] [k=21] [nb=26]
+        [out=.bench_cache/bench_big.stpu.npz]
+
+Stage memory (3.1 Gbp): genome 3.1 + SA 25 + (inv,lcp) 50 transient ->
+uint32 inv 12.5 + int32 lcp-runs 12.5 + kmers 25 + argsort 25 + errors
+12.5 — peak ~95 GB.
+"""
+
+import gc
+import os
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+import numpy as np
+
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
+def _fwd_runs_from_ok(ok: np.ndarray) -> np.ndarray:
+    """Forward run lengths of a boolean array, uint32 indices (lean
+    version of index.suffix_array.lcp_ge_k_runs for m < 2^32)."""
+    m = ok.shape[0]
+    idx = np.arange(m, dtype=np.uint32)
+    nf = np.where(~ok, idx, np.uint32(m))
+    nb = np.minimum.accumulate(nf[::-1])[::-1]
+    del nf
+    runs = nb - idx
+    np.minimum(runs, np.uint32(np.iinfo(np.int32).max), out=runs)
+    return runs.astype(np.int32)
+
+
+def main(argv):
+    from sapling_tpu.config import parse_keyval_args
+    from sapling_tpu.index.pwl import (PwlTable, build_checkpoints,
+                                       error_audit, error_stats)
+    from sapling_tpu.index.sapling import SaplingIndex
+    from sapling_tpu.native import build_suffix_array, lcp_kasai
+    from sapling_tpu.ops import pack as packops
+    from sapling_tpu.sim.genomes import benchmark_genome
+
+    kv = parse_keyval_args(argv[1:])
+    n = int(kv.get("n", 3_100_000_000))
+    k = int(kv.get("k", 21))
+    nb = int(kv.get("nb", 26))
+    out = kv.get("out", os.path.join(_ROOT, ".bench_cache",
+                                     f"bench_{n}_k{k}.stpu.npz"))
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    if os.path.exists(out):
+        log(f"{out} exists; nothing to do")
+        return 0
+
+    t0 = time.time()
+    log(f"generating {n/1e9:.2f} Gbp benchmark genome")
+    seq = benchmark_genome(n)
+    log(f"genome done ({time.time()-t0:.0f}s); SA-IS (int64)")
+
+    t1 = time.time()
+    sa = build_suffix_array(seq, np.int64)
+    log(f"SA-IS done ({time.time()-t1:.0f}s); Kasai LCP")
+    t1 = time.time()
+    inv, lcp = lcp_kasai(seq, sa)
+    del sa
+    gc.collect()
+    log(f"Kasai done ({time.time()-t1:.0f}s); deriving lean arrays")
+
+    ok = lcp >= k
+    del lcp
+    gc.collect()
+    fwd = _fwd_runs_from_ok(ok)
+    del ok
+    gc.collect()
+    inv32 = inv.astype(np.uint32)
+    del inv
+    gc.collect()
+
+    codes = packops.encode_bases(seq)
+    del seq
+    gc.collect()
+    log("k-mer scan")
+    t1 = time.time()
+    kmers = packops.kmers_scan(codes, k)
+    log(f"kmers done ({time.time()-t1:.0f}s); PWL checkpoints (argsort)")
+    t1 = time.time()
+    xlist, ylist = build_checkpoints(kmers, inv32, 2 * k, nb)
+    log(f"checkpoints done ({time.time()-t1:.0f}s); error audit")
+    t1 = time.time()
+    audit = error_audit(kmers, inv32, None, xlist, ylist, k, nb, n, fwd=fwd)
+    del kmers, fwd
+    gc.collect()
+    mo, mu, me, so, su = error_stats(audit)
+    log(f"audit done ({time.time()-t1:.0f}s): max=({mo},{mu}) "
+        f"most=({so},{su}) mean={me} perfect={audit.perfect_predictions}")
+    del audit
+    gc.collect()
+
+    table = PwlTable(buckets=nb, xlist=xlist, ylist=ylist, max_over=mo,
+                     max_under=mu, mean_error=me, most_over=so,
+                     most_under=su)
+    log("building rev (uint32) + packing genome")
+    rev = np.empty(n, dtype=np.uint32)
+    rev[inv32] = np.arange(n, dtype=np.uint32)
+    packed = packops.pack_codes(codes, pad_words=16)
+    idx = SaplingIndex(n=n, k=k, buckets=nb, packed=packed, rev=rev,
+                       inv=inv32, table=table, chr_ends=[(n, "big1")],
+                       codes=codes)
+    log(f"saving {out}")
+    idx.save(out)
+    log(f"TOTAL {time.time()-t0:.0f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))
