@@ -84,15 +84,6 @@ def main():
     q3 = jax.device_put(packops.pack_queries3(codes2d))
     darr = idx.device_arrays()
 
-    def run_pl(qw, xx):
-        return plquery_batch(
-            darr["packed"], darr["rev"], darr["xlist"], darr["ylist"], qw, xx,
-            darr.get("prefix"), darr.get("prefix3"), q3,
-            n=idx.n, length=K, k=idx.k, buckets=idx.buckets,
-            most_over=t.most_over, most_under=t.most_under,
-            max_over=t.max_over, max_under=t.max_under,
-        )
-
     # The TPU is reached through a network tunnel: per-dispatch RPC and
     # device->host copies cost hundreds of ms and block_until_ready is
     # unreliable for repeat dispatches. Time K data-chained iterations
@@ -101,12 +92,20 @@ def main():
     import jax.numpy as jnp
 
     iters = 10
+    arrs = [darr["packed"], darr["rev"], darr["xlist"], darr["ylist"],
+            darr.get("prefix"), darr.get("prefix3")]
 
+    # index arrays are ARGUMENTS (closure capture would bake them into the
+    # lowering as constants and ship GBs to the remote compiler)
     @jax.jit
-    def run_k(qw, xx0):
+    def run_k(qw, xx0, q3a, packed, rev, xl, yl, pfx, pfx3):
         def body(_, carry):
             xx, _prev = carry
-            out = run_pl(qw, xx)
+            out = plquery_batch(
+                packed, rev, xl, yl, qw, xx, pfx, pfx3, q3a,
+                n=idx.n, length=K, k=idx.k, buckets=idx.buckets,
+                most_over=t.most_over, most_under=t.most_under,
+                max_over=t.max_over, max_under=t.max_under)
             return xx + out[0] * 0, out  # chain: iteration i+1 needs out_i
 
         _, out = jax.lax.fori_loop(
@@ -116,9 +115,9 @@ def main():
     rev_dtype = darr["rev"].dtype
     if np.dtype(rev_dtype) == np.uint32:
         rev_dtype = np.int64
-    np.asarray(run_k(q_words, x))  # compile + warm
+    np.asarray(run_k(q_words, x, q3, *arrs))  # compile + warm
     t0 = time.time()
-    pos = np.asarray(run_k(q_words, x))
+    pos = np.asarray(run_k(q_words, x, q3, *arrs))
     dt = (time.time() - t0) / iters
     qps = NQ / dt
     log(f"plquery: {NQ} queries in {dt:.3f}s -> {qps:,.0f} q/s "

@@ -202,16 +202,48 @@ class SaplingIndex:
 
     # --- device state --------------------------------------------------------
 
-    def device_arrays(self):
-        """Lazily put the hot arrays on the default device."""
+    def device_arrays(self, rev_bank_bits: int | None = None):
+        """Lazily put the hot arrays on the default device.
+
+        XLA TPU gathers need int32-indexable operands, so a rev with more
+        than 2^31-1 entries (GRCh38-scale) becomes a TUPLE of 1-D banks
+        gathered per-bank (ops.query.take_rank; 1-D arrays tile without
+        padding waste, unlike a [banks, 2^b] matrix whose tiny sublane
+        axis would pad). At the same scale the int64 PWL table ships as
+        pre-split (hi, lo) uint32 pairs — the X64-rewrite pass would
+        otherwise materialize duplicate 32-bit copies on device.
+        rev_bank_bits forces a bank size (tests use small values)."""
         if not self._device:
             import jax.numpy as jnp
 
+            rev = self.rev
+            big = rev.shape[0] > (1 << 31) - 1
+            bits = rev_bank_bits
+            if bits is None and big:
+                bits = 30  # XLA rejects gather operands of >= 2^31 elements
+            if bits is not None:
+                bank = 1 << bits
+                rev = tuple(
+                    jnp.asarray(rev[lo : lo + bank])
+                    for lo in range(0, rev.shape[0], bank)
+                )
+            else:
+                rev = jnp.asarray(rev)
+            xl64 = self.table.xlist
+            yl64 = self.table.ylist
+            if big or rev_bank_bits is not None:
+                xlist = (jnp.asarray((xl64 >> 32).astype(np.uint32)),
+                         jnp.asarray((xl64 & 0xFFFFFFFF).astype(np.uint32)))
+                ylist = (jnp.asarray((yl64 >> 32).astype(np.uint32)),
+                         jnp.asarray((yl64 & 0xFFFFFFFF).astype(np.uint32)))
+            else:
+                xlist = jnp.asarray(xl64)
+                ylist = jnp.asarray(yl64)
             self._device = {
                 "packed": jnp.asarray(self.packed),
-                "rev": jnp.asarray(self.rev),
-                "xlist": jnp.asarray(self.table.xlist),
-                "ylist": jnp.asarray(self.table.ylist),
+                "rev": rev,
+                "xlist": xlist,
+                "ylist": ylist,
                 "prefix": (jnp.asarray(self.prefix64)
                            if self.prefix64 is not None else None),
                 "prefix3": (jnp.asarray(self.prefix3)

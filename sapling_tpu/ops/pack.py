@@ -172,9 +172,12 @@ def pack_queries3(codes: np.ndarray) -> np.ndarray:
 
 
 def pack_queries(codes: np.ndarray) -> np.ndarray:
-    """Pack a batch of equal-length queries [B, L] into words [B, ceil(L/16)].
+    """Pack a batch of equal-length queries [B, L] into WORD-MAJOR words
+    [ceil(L/16), B] (bits beyond L in the last word are zero).
 
-    Bits beyond L in the last word are zero.
+    Word-major because TPU tiling pads the last two axes to (8, 128): a
+    [B, 2] device array would occupy 64x its bytes in HBM, while [2, B]
+    is tight (docs/PERFORMANCE.md).
     """
     b, length = codes.shape
     wq = (length + BASES_PER_WORD - 1) // BASES_PER_WORD
@@ -182,7 +185,8 @@ def pack_queries(codes: np.ndarray) -> np.ndarray:
     buf[:, :length] = codes
     buf = buf.reshape(b, wq, BASES_PER_WORD)
     shifts = np.uint32(30) - np.uint32(2) * np.arange(BASES_PER_WORD, dtype=np.uint32)
-    return np.bitwise_or.reduce(buf << shifts, axis=2).astype(np.uint32)
+    words = np.bitwise_or.reduce(buf << shifts, axis=2).astype(np.uint32)
+    return np.ascontiguousarray(words.T)
 
 
 def batch_kmers_adjusted(codes: np.ndarray, k: int) -> np.ndarray:

@@ -45,10 +45,24 @@ def predict_pwl(x, xlist, ylist, kbits: int, buckets: int, n: int, xp=jnp):
     """
     shift = kbits - buckets
     bucket = (x >> shift).astype(jnp.int64 if xp is jnp else np.int64)
-    xlo = xp.take(xlist, bucket)
-    xhi = xp.take(xlist, bucket + 1)
-    ylo = xp.take(ylist, bucket)
-    yhi = xp.take(ylist, bucket + 1)
+
+    def tk(arr, i):
+        if isinstance(arr, tuple):
+            # split-u32 storage (hi, lo): avoids the X64-rewrite pass
+            # materializing duplicate 32-bit copies of s64 arguments on
+            # device (docs/PERFORMANCE.md)
+            hi = xp.take(arr[0], i).astype(jnp.int64 if xp is jnp else np.int64)
+            lo = xp.take(arr[1], i).astype(jnp.int64 if xp is jnp else np.int64)
+            return (hi << 32) | lo
+        v = xp.take(arr, i)
+        if v.dtype != (jnp.int64 if xp is jnp else np.int64):
+            v = v.astype(jnp.int64 if xp is jnp else np.int64)
+        return v
+
+    xlo = tk(xlist, bucket)
+    xhi = tk(xlist, bucket + 1)
+    ylo = tk(ylist, bucket)
+    yhi = tk(ylist, bucket + 1)
 
     m = yhi - ylo          # >= 0 (ylist nondecreasing), < n
     nn = x - xlo           # may be negative for out-of-genome kmers

@@ -53,30 +53,46 @@ def _clz32(x: jnp.ndarray) -> jnp.ndarray:
     return 32 - jax.lax.population_count(x).astype(jnp.int32)
 
 
-def probe_at(packed, pos, q_words, *, n: int, length: int) -> Probe:
+def probe_at(packed, pos, q_words_t, *, n: int, length: int) -> Probe:
     """Compare the L-base query against the genome at text position pos.
 
-    packed:  uint32 [n_words+pad] big-endian 2-bit genome
-    pos:     int [B] text positions (must be in [0, n))
-    q_words: uint32 [B, WQ] packed queries (bits beyond L zeroed)
+    packed:    uint32 [n_words+pad] big-endian 2-bit genome
+    pos:       int [...] text positions (must be in [0, n)); any shape
+    q_words_t: uint32 [WQ, B] packed queries, WORD-MAJOR (bits beyond L
+               zeroed). TPU tiling pads the last two axes to (8, 128), so
+               per-word [B] rows — never [B, small] arrays — are the only
+               layout that doesn't blow up HBM (docs/PERFORMANCE.md).
+
+    All per-word work uses separate [B]-shaped 1-D arrays for the same
+    reason; wq is tiny and static so the Python loop fuses flat.
     """
     wq = (length + BASES_PER_WORD - 1) // BASES_PER_WORD
     w0 = (pos >> 4).astype(jnp.int32)
-    sh = ((pos & 15) << 1).astype(jnp.uint32)[:, None]
-    idxs = w0[:, None] + jnp.arange(wq + 1, dtype=jnp.int32)[None, :]
-    rw = jnp.take(packed, idxs)  # [B, WQ+1]
-    left = rw[:, :wq] << sh
-    right = jnp.where(sh == 0, jnp.uint32(0), rw[:, 1:] >> ((32 - sh) & 31))
-    aligned = left | right  # [B, WQ] genome window, query-aligned
-
-    diff = aligned ^ q_words
-    neq = diff != 0
-    any_diff = neq.any(axis=1)
-    fw = jnp.argmax(neq, axis=1)  # first differing word
-    dw = jnp.take_along_axis(diff, fw[:, None], axis=1)[:, 0]
+    sh = ((pos & 15) << 1).astype(jnp.uint32)
+    sh_nz = sh != 0
+    rsh = (32 - sh) & 31
+    words = [jnp.take(packed, w0 + j) for j in range(wq + 1)]
+    zero = jnp.zeros_like(words[0])
+    # first-differing-word selection, word 0 highest priority
+    lcp_words = jnp.full(pos.shape, wq, jnp.int32)
+    dw = zero
+    qw = zero
+    aw = zero
+    seen_diff = jnp.zeros(pos.shape, bool)
+    for j in range(wq):
+        aligned = (words[j] << sh) | jnp.where(sh_nz, words[j + 1] >> rsh,
+                                               jnp.uint32(0))
+        qj = q_words_t[j]
+        d = aligned ^ qj
+        new = ~seen_diff & (d != 0)
+        lcp_words = jnp.where(new, j, lcp_words)
+        dw = jnp.where(new, d, dw)
+        qw = jnp.where(new, qj, qw)
+        aw = jnp.where(new, aligned, aw)
+        seen_diff = seen_diff | new
     lcp_raw = jnp.where(
-        any_diff,
-        fw.astype(jnp.int32) * BASES_PER_WORD + (_clz32(dw) >> 1),
+        seen_diff,
+        lcp_words * BASES_PER_WORD + (_clz32(dw) >> 1),
         jnp.int32(length),
     )
     # Compute the in-genome remainder in the position dtype first so large
@@ -85,50 +101,9 @@ def probe_at(packed, pos, q_words, *, n: int, length: int) -> Probe:
     lcp = jnp.minimum(lcp_raw, rem)
     match = lcp == length
     off_end = ~match & (lcp == rem) & (rem < length)
-    qw = jnp.take_along_axis(q_words, fw[:, None], axis=1)[:, 0]
-    aw = jnp.take_along_axis(aligned, fw[:, None], axis=1)[:, 0]
     q_gt_ref = qw > aw  # decided at the first differing base (big-endian pack)
     smaller = off_end | (~match & q_gt_ref)
     return Probe(match=match, smaller=smaller, off_end=off_end)
-
-
-def probe_window(packed, pos, q_words, *, n: int, length: int) -> Probe:
-    """probe_at over a [W, B] window of positions sharing per-lane queries.
-
-    One wide parallel gather round instead of W sequential probes; compare
-    math identical to probe_at with a leading window axis. The window and
-    word axes LEAD (shapes [WQ, W, B]) so the big batch axis stays in TPU
-    lanes — trailing tiny axes would pad 3 -> 128 and blow up HBM.
-    """
-    wq = (length + BASES_PER_WORD - 1) // BASES_PER_WORD
-    w0 = (pos >> 4).astype(jnp.int32)                     # [W, B]
-    sh = ((pos & 15) << 1).astype(jnp.uint32)[None]       # [1, W, B]
-    idxs = w0[None] + jnp.arange(wq + 1, dtype=jnp.int32)[:, None, None]
-    rw = jnp.take(packed, idxs)                           # [WQ+1, W, B]
-    left = rw[:wq] << sh
-    right = jnp.where(sh == 0, jnp.uint32(0), rw[1:] >> ((32 - sh) & 31))
-    aligned = left | right                                # [WQ, W, B]
-    qwT = q_words.T[:, None, :]                           # [WQ, 1, B]
-    diff = aligned ^ qwT
-    neq = diff != 0
-    any_diff = neq.any(axis=0)
-    fw = jnp.argmax(neq, axis=0)                          # [W, B]
-    dw = jnp.take_along_axis(diff, fw[None], axis=0)[0]
-    lcp_raw = jnp.where(
-        any_diff,
-        fw.astype(jnp.int32) * BASES_PER_WORD + (_clz32(dw) >> 1),
-        jnp.int32(length),
-    )
-    rem = jnp.minimum(n - pos, length).astype(jnp.int32)
-    lcp = jnp.minimum(lcp_raw, rem)
-    match = lcp == length
-    off_end = ~match & (lcp == rem) & (rem < length)
-    qw = jnp.take_along_axis(
-        jnp.broadcast_to(qwT, diff.shape), fw[None], axis=0)[0]
-    aw = jnp.take_along_axis(aligned, fw[None], axis=0)[0]
-    smaller = off_end | (~match & (qw > aw))
-    return Probe(match=match, smaller=smaller, off_end=off_end)
-
 
 
 def _clz64(x: jnp.ndarray) -> jnp.ndarray:
@@ -140,6 +115,27 @@ def _clz64(x: jnp.ndarray) -> jnp.ndarray:
     x = x | (x >> 16)
     x = x | (x >> 32)
     return 64 - jax.lax.population_count(x).astype(jnp.int32)
+
+
+def take_rank(rev, idx):
+    """Gather from the rank->pos array: a flat [n] array, or — for n
+    beyond int32 gather range (XLA TPU gathers need 32-bit-indexable
+    operands) — a TUPLE of 1-D power-of-two-sized banks (2-D banking
+    would pad the small sublane axis; 1-D arrays tile waste-free). Each
+    bank is gathered with clamped int32 offsets and the right one
+    selected per lane."""
+    if not isinstance(rev, (tuple, list)):
+        return jnp.take(rev, idx)
+    bank_bits = int(rev[0].shape[0]).bit_length() - 1
+    b = (idx >> bank_bits).astype(jnp.int32)
+    o = (idx & ((1 << bank_bits) - 1)).astype(jnp.int32)
+    out = jnp.take(rev[0], jnp.where(b == 0, o, 0))
+    for bi in range(1, len(rev)):
+        sel = b == bi
+        lim = rev[bi].shape[0] - 1
+        g = jnp.take(rev[bi], jnp.where(sel, jnp.minimum(o, lim), 0))
+        out = jnp.where(sel, g, out)
+    return out
 
 
 def make_rank_probe(packed, rev, prefix, q_words, *, n: int, length: int,
@@ -166,8 +162,8 @@ def make_rank_probe(packed, rev, prefix, q_words, *, n: int, length: int,
         # ops. The prefix stays a uint64 array (one 8-byte gather granule);
         # the gathered value is bitcast to its two uint32 words.
         wq = (length + BASES_PER_WORD - 1) // BASES_PER_WORD
-        qhi_full = q_words[:, 0]
-        qlo_full = q_words[:, 1] if wq > 1 else jnp.zeros_like(q_words[:, 0])
+        qhi_full = q_words[0]
+        qlo_full = q_words[1] if wq > 1 else jnp.zeros_like(q_words[0])
         if length <= 16:
             mhi = ((1 << (2 * length)) - 1) << (32 - 2 * length)
             mlo = 0
@@ -181,7 +177,7 @@ def make_rank_probe(packed, rev, prefix, q_words, *, n: int, length: int,
         qlo = qlo_full & mlo
 
         def probe(rank):
-            pos = jnp.take(rev, rank).astype(idt)
+            pos = take_rank(rev, rank).astype(idt)
             pw = jnp.take(prefix, rank)
             pair = jax.lax.bitcast_convert_type(pw, jnp.uint32)  # [B, 2]
             lo32, hi32 = pair[..., 0], pair[..., 1]  # little-endian halves
@@ -204,7 +200,7 @@ def make_rank_probe(packed, rev, prefix, q_words, *, n: int, length: int,
         return probe
 
     def probe(rank):
-        pos = jnp.take(rev, rank).astype(idt)
+        pos = take_rank(rev, rank).astype(idt)
         return pos, probe_at(packed, pos, q_words, n=n, length=length)
 
     return probe
@@ -256,6 +252,10 @@ def _state_dtype(storage_dtype):
     if _np.dtype(storage_dtype) == _np.uint32:
         return jnp.int64
     return storage_dtype
+
+
+def _rev_dtype(rev):
+    return rev[0].dtype if isinstance(rev, (tuple, list)) else rev.dtype
 
 
 def _masked_binary_search2(probe_fn, lo, hi, res, resolved):
@@ -415,7 +415,7 @@ def _plquery_fast3(rev, prefix3, q3, x, xlist, ylist, *, n, length, k,
     _, _, rank_res, _ = jax.lax.while_loop(
         cond, body, (lo, hi, rank_res, resolved))
     found = rank_res >= 0
-    pos = jnp.take(rev, jnp.where(found, rank_res, 0)).astype(idt)
+    pos = take_rank(rev, jnp.where(found, rank_res, 0)).astype(idt)
     return jnp.where(found, pos, neg1)
 
 
@@ -439,7 +439,7 @@ def plquery_batch(
 
     Returns int [B] text positions, -1 where the reference returns -1.
     """
-    idt = _state_dtype(rev.dtype)
+    idt = _state_dtype(_rev_dtype(rev))
     from .pack import P3_BASES
 
     if (prefix3 is not None and q3 is not None and length <= k
@@ -477,8 +477,8 @@ def plquery_batch(
         wstart = pred_w - most_under                       # rank of row 0
         ranks = wstart[None, :] + jnp.arange(wsz, dtype=jnp.int64)[:, None]
         rank_c = jnp.clip(ranks, 0, n - 1).astype(idt)
-        win_rev = jnp.take(rev, rank_c).astype(idt)        # [W, B]
-        pw = probe_window(packed, win_rev, q_words, n=n, length=length)
+        win_rev = take_rank(rev, rank_c).astype(idt)        # [W, B]
+        pw = probe_at(packed, win_rev, q_words, n=n, length=length)
 
         def at(win, rank):
             i = jnp.clip((rank.astype(jnp.int64) - wstart), 0, wsz - 1)
@@ -643,15 +643,15 @@ def binsearch_batch(packed, rev, q_words, *, n: int, length: int):
     [0, n-1]. Its recursion lacks a not-found guard and can recurse forever
     on absent queries; we resolve those lanes to -1 instead.
     """
-    idt = _state_dtype(rev.dtype)
-    b = q_words.shape[0]
+    idt = _state_dtype(_rev_dtype(rev))
+    b = q_words.shape[1]
     res = jnp.full((b,), -1, dtype=idt)
 
-    idx_lo = jnp.take(rev, jnp.zeros((b,), jnp.int32)).astype(idt)
+    idx_lo = take_rank(rev, jnp.zeros((b,), jnp.int32)).astype(idt)
     p_lo = probe_at(packed, idx_lo, q_words, n=n, length=length)
     res = jnp.where(p_lo.match, idx_lo, res)
     resolved = p_lo.match
-    idx_hi = jnp.take(rev, jnp.full((b,), n - 1, jnp.int64)).astype(idt)
+    idx_hi = take_rank(rev, jnp.full((b,), n - 1, jnp.int64)).astype(idt)
     p_hi = probe_at(packed, idx_hi, q_words, n=n, length=length)
     hit = ~resolved & p_hi.match
     res = jnp.where(hit, idx_hi, res)

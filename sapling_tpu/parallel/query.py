@@ -52,11 +52,16 @@ class ShardedQueryEngine:
         idx = self.index
         ndp = self.mesh.shape["dp"]
         length = int(codes2d.shape[1])
-        q_words = packops.pack_queries(codes2d)
+        q_words = packops.pack_queries(codes2d)  # [WQ, B] word-major
         x = packops.batch_kmers_adjusted(codes2d, idx.k)
-        q_words, b = pad_to_multiple(q_words, ndp, 0)
+        q_words_p, b = pad_to_multiple(
+            np.ascontiguousarray(q_words.T), ndp, 0)
+        q_words = np.ascontiguousarray(q_words_p.T)
         x, _ = pad_to_multiple(x, ndp, 0)
-        qs = jax.device_put(q_words, dp_sharded(self.mesh, 2))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        qs = jax.device_put(q_words,
+                            NamedSharding(self.mesh, P(None, "dp")))
         xs = jax.device_put(x, dp_sharded(self.mesh, 1))
         q3s = None
         if (self.prefix3 is not None

@@ -259,3 +259,31 @@ def test_prefix3_probe_equals_packed_probe():
         slow = np.asarray(plquery_batch(
             idx.packed, idx.rev, t.xlist, t.ylist, qw, x, **kw))
         np.testing.assert_array_equal(fast, slow, err_msg=f"length={length}")
+
+
+def test_banked_rev_matches_flat():
+    """Banked [banks, 2^b] rev layout (XLA TPU gathers need int32-indexable
+    operands at GRCh38 scale) must give identical results through both
+    query kernels and all prefix paths."""
+    import numpy as np
+
+    from sapling_tpu.config import IndexConfig
+    from sapling_tpu.index.sapling import SaplingIndex
+    from sapling_tpu.sim.genomes import uniform_genome
+
+    g = uniform_genome(30_000, seed=71)
+    a = SaplingIndex.build(g, IndexConfig(k=21))
+    b = SaplingIndex.build(g, IndexConfig(k=21))
+    b.device_arrays(rev_bank_bits=12)  # force 8 banks of 4096
+    assert isinstance(b._device["rev"], tuple) and len(b._device["rev"]) == 8
+    assert isinstance(b._device["xlist"], tuple)  # split-u32 tables
+    rng = np.random.default_rng(5)
+    for length in (16, 21, 31):
+        starts = rng.integers(0, a.n - length, 2000)
+        codes = a.codes[starts[:, None] + np.arange(length)]
+        codes[:40] = rng.integers(0, 4, (40, length))
+        np.testing.assert_array_equal(
+            a.query_positions(codes), b.query_positions(codes),
+            err_msg=f"length={length}")
+    np.testing.assert_array_equal(
+        a.query_positions_binsearch(codes), b.query_positions_binsearch(codes))

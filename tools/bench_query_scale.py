@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Query-throughput benchmark for any cached index artifact.
+
+    python tools/bench_query_scale.py <index.stpu.npz> [nq=5000000]
+        [qLen=21] [iters=10]
+
+Honest timing per docs/PERFORMANCE.md: index arrays passed as jit
+ARGUMENTS (closure capture would ship them to the remote compiler as
+constants), K data-chained iterations inside one program, result
+materialized, self-check on a sample.
+"""
+
+import os
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(_ROOT, ".jax_cache"))
+
+import numpy as np
+
+
+def main(argv):
+    import jax
+    import jax.numpy as jnp
+
+    from sapling_tpu.config import parse_keyval_args
+    from sapling_tpu.index.sapling import SaplingIndex
+    from sapling_tpu.ops import pack as packops
+    from sapling_tpu.ops.query import plquery_batch
+
+    if len(argv) < 2:
+        print(__doc__)
+        return 1
+    kv = parse_keyval_args(argv[2:])
+    nq = int(kv.get("nq", 5_000_000))
+    qlen = int(kv.get("qLen", 21))
+    iters = int(kv.get("iters", 10))
+
+    t0 = time.time()
+    idx = SaplingIndex.load(argv[1])
+    t = idx.table
+    print(f"loaded n={idx.n:,} buckets=2^{idx.buckets} "
+          f"most=({t.most_over},{t.most_under}) "
+          f"max=({t.max_over},{t.max_under}) in {time.time()-t0:.0f}s",
+          flush=True)
+    rng = np.random.default_rng(99)
+    starts = rng.integers(0, idx.n - qlen + 1, nq)
+    codes2d = idx.codes[starts[:, None] + np.arange(qlen)]
+    q_words = jax.device_put(packops.pack_queries(codes2d))
+    x = jax.device_put(packops.batch_kmers_adjusted(codes2d, idx.k))
+    use3 = (idx.prefix3 is not None
+            and qlen <= min(idx.k, packops.P3_BASES))
+    q3 = jax.device_put(packops.pack_queries3(codes2d)) if use3 else None
+    darr = idx.device_arrays()
+    arrs = [darr["packed"], darr["rev"], darr["xlist"], darr["ylist"],
+            darr.get("prefix"), darr.get("prefix3")]
+    rv = darr["rev"]
+    rdt = rv[0].dtype if isinstance(rv, tuple) else rv.dtype
+    state_dt = jnp.int64 if np.dtype(rdt) == np.uint32 else rdt
+
+    @jax.jit
+    def run_k(qw, xx0, q3a, packed, rev, xl, yl, pfx, pfx3):
+        def body(_, carry):
+            xx, _p = carry
+            out = plquery_batch(
+                packed, rev, xl, yl, qw, xx, pfx, pfx3, q3a,
+                n=idx.n, length=qlen, k=idx.k, buckets=idx.buckets,
+                most_over=t.most_over, most_under=t.most_under,
+                max_over=t.max_over, max_under=t.max_under)
+            return xx + out[0] * 0, out
+
+        return jax.lax.fori_loop(
+            0, iters, body, (xx0, jnp.zeros(xx0.shape[0], state_dt)))[1]
+
+    print("compiling...", flush=True)
+    t0 = time.time()
+    np.asarray(run_k(q_words, x, q3, *arrs))
+    print(f"compiled in {time.time()-t0:.0f}s", flush=True)
+    t0 = time.time()
+    pos = np.asarray(run_k(q_words, x, q3, *arrs))
+    dt = (time.time() - t0) / iters
+    sample = min(nq, 200_000)
+    ok = int(idx.verify_hits(codes2d[:sample], pos[:sample]).sum())
+    print(f"plquery qLen={qlen}: {nq/dt:,.0f} q/s "
+          f"(fast3={use3}); self-check {ok}/{sample}")
+    if ok != sample:
+        raise SystemExit("self-check FAILED")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))
