@@ -117,13 +117,28 @@ def _clz64(x: jnp.ndarray) -> jnp.ndarray:
     return 64 - jax.lax.population_count(x).astype(jnp.int32)
 
 
+class SplitRanks(NamedTuple):
+    """rank->pos values split 5 bytes/rank for n >= 2^32 genomes (wheat,
+    14.3 Gbp): lo = low 32 bits (uint32), hi = bits 32.. (uint8). int64
+    storage would need 8 B/rank — the split is what lets a wheat-scale
+    rev shard fit next to the replicated packed genome in one chip's HBM
+    (docs/PERFORMANCE.md). Each leaf may itself be a tuple of 1-D banks."""
+
+    lo: object  # uint32 array (or tuple of banks)
+    hi: object  # uint8 array (or tuple of banks)
+
+
 def take_rank(rev, idx):
-    """Gather from the rank->pos array: a flat [n] array, or — for n
-    beyond int32 gather range (XLA TPU gathers need 32-bit-indexable
-    operands) — a TUPLE of 1-D power-of-two-sized banks (2-D banking
-    would pad the small sublane axis; 1-D arrays tile waste-free). Each
-    bank is gathered with clamped int32 offsets and the right one
-    selected per lane."""
+    """Gather from the rank->pos array: a flat [n] array, a SplitRanks
+    pair, or — for n beyond int32 gather range (XLA TPU gathers need
+    32-bit-indexable operands) — a TUPLE of 1-D power-of-two-sized banks
+    (2-D banking would pad the small sublane axis; 1-D arrays tile
+    waste-free). Each bank is gathered with clamped int32 offsets and the
+    right one selected per lane."""
+    if isinstance(rev, SplitRanks):
+        lo = take_rank(rev.lo, idx).astype(jnp.int64)
+        hi = take_rank(rev.hi, idx).astype(jnp.int64)
+        return (hi << 32) | lo
     if not isinstance(rev, (tuple, list)):
         return jnp.take(rev, idx)
     bank_bits = int(rev[0].shape[0]).bit_length() - 1
@@ -138,8 +153,45 @@ def take_rank(rev, idx):
     return out
 
 
+def _psum_pick(v, axis):
+    """Combine a masked per-shard gather (exactly one shard contributes a
+    nonzero value per lane) with one psum over the index-shard axis.
+    uint64 values ride as uint32 pairs — the TPU has no 64-bit lanes."""
+    if v.dtype == jnp.uint64:
+        pair = jax.lax.bitcast_convert_type(v, jnp.uint32)
+        return jax.lax.bitcast_convert_type(
+            jax.lax.psum(pair, axis), jnp.uint64)
+    return jax.lax.psum(v, axis)
+
+
+def make_take(shard):
+    """Rank-array gather closure: plain take_rank, or — under index
+    sharding (shard = (axis_name, shard_size), inside shard_map) — a
+    local masked gather plus one psum over the shard axis. Each device
+    holds the contiguous rank range [me*size, (me+1)*size); lanes whose
+    rank lives elsewhere gather local index 0 (cached, no HBM traffic)
+    and contribute 0 to the psum, so per-shard gather traffic is only the
+    lanes that land in that shard — the property that makes an index too
+    big for one chip's HBM queryable at ~replicated-index speed."""
+    if shard is None:
+        return take_rank
+    axis, size = shard
+
+    def take(arr, rank):
+        me = jax.lax.axis_index(axis)
+        owner = (rank // size).astype(jnp.int32)
+        mine = owner == me
+        off = jnp.where(mine, rank - owner.astype(rank.dtype) * size,
+                        jnp.zeros_like(rank))
+        v = take_rank(arr, off)
+        v = jnp.where(mine, v, jnp.zeros_like(v))
+        return _psum_pick(v, axis)
+
+    return take
+
+
 def make_rank_probe(packed, rev, prefix, q_words, *, n: int, length: int,
-                    idt):
+                    idt, take=take_rank):
     """Probe-by-suffix-array-rank closure: rank [B] -> (text pos, Probe).
 
     Two implementations with identical semantics:
@@ -177,8 +229,8 @@ def make_rank_probe(packed, rev, prefix, q_words, *, n: int, length: int,
         qlo = qlo_full & mlo
 
         def probe(rank):
-            pos = take_rank(rev, rank).astype(idt)
-            pw = jnp.take(prefix, rank)
+            pos = take(rev, rank).astype(idt)
+            pw = take(prefix, rank)
             pair = jax.lax.bitcast_convert_type(pw, jnp.uint32)  # [B, 2]
             lo32, hi32 = pair[..., 0], pair[..., 1]  # little-endian halves
             phi = hi32 & mhi
@@ -200,13 +252,13 @@ def make_rank_probe(packed, rev, prefix, q_words, *, n: int, length: int,
         return probe
 
     def probe(rank):
-        pos = take_rank(rev, rank).astype(idt)
+        pos = take(rev, rank).astype(idt)
         return pos, probe_at(packed, pos, q_words, n=n, length=length)
 
     return probe
 
 
-def make_rank_probe3(prefix3, q3, *, length: int):
+def make_rank_probe3(prefix3, q3, *, length: int, take=take_rank):
     """rank -> Probe via ONE uint64 gather (no text position).
 
     prefix3/q3 use the shifted 3-bit encoding (ops.pack.rank_prefix3):
@@ -226,7 +278,7 @@ def make_rank_probe3(prefix3, q3, *, length: int):
     qhi = qp[..., 1] & mhi
 
     def probe(rank):
-        pv = jnp.take(prefix3, rank)
+        pv = take(prefix3, rank)
         pp = jax.lax.bitcast_convert_type(pv, jnp.uint32)
         plo = pp[..., 0] & mlo
         phi = pp[..., 1] & mhi
@@ -255,6 +307,8 @@ def _state_dtype(storage_dtype):
 
 
 def _rev_dtype(rev):
+    if isinstance(rev, SplitRanks):
+        return jnp.int64  # values are reassembled 40-bit positions
     return rev[0].dtype if isinstance(rev, (tuple, list)) else rev.dtype
 
 
@@ -354,12 +408,13 @@ def _masked_binary_search(probe_fn, lo, hi, res, resolved):
 
 
 def _plquery_fast3(rev, prefix3, q3, x, xlist, ylist, *, n, length, k,
-                   buckets, most_over, most_under, max_over, max_under, idt):
+                   buckets, most_over, most_under, max_over, max_under, idt,
+                   take=take_rank):
     """plQuery via 3-bit prefix probes: ONE 8-byte gather per probe round,
     suffix-array RANKS tracked throughout, a single rev gather at the end.
     Exact reference decision sequence; valid for length <= min(k, 21)
     (phase C, the only consumer of off_end, is statically absent)."""
-    probe = make_rank_probe3(prefix3, q3, length=length)
+    probe = make_rank_probe3(prefix3, q3, length=length, take=take)
     pred64 = predict_pwl(x, xlist, ylist, 2 * k, buckets, n)
     pred = pred64.astype(idt)
     neg1 = jnp.array(-1, idt)
@@ -415,7 +470,7 @@ def _plquery_fast3(rev, prefix3, q3, x, xlist, ylist, *, n, length, k,
     _, _, rank_res, _ = jax.lax.while_loop(
         cond, body, (lo, hi, rank_res, resolved))
     found = rank_res >= 0
-    pos = take_rank(rev, jnp.where(found, rank_res, 0)).astype(idt)
+    pos = take(rev, jnp.where(found, rank_res, 0)).astype(idt)
     return jnp.where(found, pos, neg1)
 
 
@@ -424,7 +479,7 @@ def _plquery_fast3(rev, prefix3, q3, x, xlist, ylist, *, n, length, k,
     static_argnames=(
         "n", "length", "k", "buckets", "most_over", "most_under",
         "max_over", "max_under", "max_stride_steps", "window_scan",
-        "multiprobe",
+        "multiprobe", "shard_spec",
     ),
 )
 def plquery_batch(
@@ -434,12 +489,22 @@ def plquery_batch(
     most_over: int, most_under: int, max_over: int, max_under: int,
     max_stride_steps: int = 1 << 20, window_scan: bool | None = None,
     multiprobe: bool = False,
+    shard_spec: tuple[str, int] | None = None,
 ):
     """Batched Sapling::plQuery (reference: src/sapling_api.h:159-248).
 
     Returns int [B] text positions, -1 where the reference returns -1.
+
+    shard_spec = (mesh_axis, shard_size): rev/prefix/prefix3 are the
+    LOCAL contiguous-rank-range shards of an index sharded over that mesh
+    axis (call inside shard_map; see parallel.sharded_index). Probes
+    gather locally and combine with a psum — decision sequence, and hence
+    results, are bit-identical to the replicated engine.
     """
     idt = _state_dtype(_rev_dtype(rev))
+    take = make_take(shard_spec)
+    if shard_spec is not None and window_scan:
+        raise NotImplementedError("window_scan under index sharding")
     from .pack import P3_BASES
 
     if (prefix3 is not None and q3 is not None and length <= k
@@ -447,9 +512,9 @@ def plquery_batch(
         return _plquery_fast3(
             rev, prefix3, q3, x, xlist, ylist, n=n, length=length, k=k,
             buckets=buckets, most_over=most_over, most_under=most_under,
-            max_over=max_over, max_under=max_under, idt=idt)
+            max_over=max_over, max_under=max_under, idt=idt, take=take)
     probe_rank = make_rank_probe(packed, rev, prefix, q_words,
-                                 n=n, length=length, idt=idt)
+                                 n=n, length=length, idt=idt, take=take)
     pred64 = predict_pwl(x, xlist, ylist, 2 * k, buckets, n)
     pred = pred64.astype(idt)
 
@@ -634,8 +699,9 @@ def plquery_batch(
     return res
 
 
-@functools.partial(jax.jit, static_argnames=("n", "length"))
-def binsearch_batch(packed, rev, q_words, *, n: int, length: int):
+@functools.partial(jax.jit, static_argnames=("n", "length", "shard_spec"))
+def binsearch_batch(packed, rev, q_words, *, n: int, length: int,
+                    shard_spec: tuple[str, int] | None = None):
     """Batched classic suffix-array binary search — the baseline being
     beaten (reference: src/binarysearch.cpp:38-58,158-165).
 
@@ -644,22 +710,25 @@ def binsearch_batch(packed, rev, q_words, *, n: int, length: int):
     on absent queries; we resolve those lanes to -1 instead.
     """
     idt = _state_dtype(_rev_dtype(rev))
+    take = make_take(shard_spec)
     b = q_words.shape[1]
     res = jnp.full((b,), -1, dtype=idt)
 
-    idx_lo = take_rank(rev, jnp.zeros((b,), jnp.int32)).astype(idt)
+    idx_lo = take(rev, jnp.zeros((b,), jnp.int32)).astype(idt)
     p_lo = probe_at(packed, idx_lo, q_words, n=n, length=length)
     res = jnp.where(p_lo.match, idx_lo, res)
     resolved = p_lo.match
-    idx_hi = take_rank(rev, jnp.full((b,), n - 1, jnp.int64)).astype(idt)
+    idx_hi = take(rev, jnp.full((b,), n - 1, jnp.int64)).astype(idt)
     p_hi = probe_at(packed, idx_hi, q_words, n=n, length=length)
     hit = ~resolved & p_hi.match
     res = jnp.where(hit, idx_hi, res)
     resolved = resolved | hit
 
-    lo = jnp.zeros((b,), idt)
-    hi = jnp.full((b,), n - 1, idt)
+    # derive from res so the carries inherit its device-varying manual
+    # axes under shard_map (a plain constant would trip the vma check)
+    lo = res * 0
+    hi = res * 0 + jnp.array(n - 1, idt)
     probe_rank = make_rank_probe(packed, rev, None, q_words,
-                                 n=n, length=length, idt=idt)
+                                 n=n, length=length, idt=idt, take=take)
     res, _ = _masked_binary_search(probe_rank, lo, hi, res, resolved)
     return res

@@ -18,19 +18,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: int | None = None, tp: int = 1) -> Mesh:
-    """A ("dp", "tp") mesh over the first n_devices devices.
+def make_mesh(n_devices: int | None = None, tp: int = 1,
+              axes: tuple[str, str] = ("dp", "tp")) -> Mesh:
+    """A 2-D mesh over the first n_devices devices.
 
-    tp divides n_devices; dp = n_devices // tp.
-    """
+    tp is the size of the second axis and divides n_devices; the first
+    axis gets n_devices // tp. Default axis names ("dp", "tp") serve the
+    data-parallel query engine and the residual-MLP trainer; pass
+    axes=("dp", "idx") for the index-sharded engine
+    (parallel.sharded_index)."""
     devs = jax.devices()
     n = len(devs) if n_devices is None else n_devices
     if n > len(devs):
         raise ValueError(f"requested {n} devices, have {len(devs)}")
     if n % tp:
-        raise ValueError(f"tp={tp} must divide n_devices={n}")
+        raise ValueError(f"{axes[1]}={tp} must divide n_devices={n}")
     grid = np.asarray(devs[:n]).reshape(n // tp, tp)
-    return Mesh(grid, ("dp", "tp"))
+    return Mesh(grid, axes)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
