@@ -239,8 +239,15 @@ class SaplingIndex:
             else:
                 xlist = jnp.asarray(xl64)
                 ylist = jnp.asarray(yl64)
+            # uint64 word pairing halves probe gather granules but adds
+            # per-probe select work; it wins only in the granule-bound
+            # multi-Gbp regime — which is exactly when the per-rank
+            # prefix arrays are absent (measured: 0.89x at 4.6 Mbp,
+            # docs/PERFORMANCE.md)
+            pk = (packops.words_to_u64(self.packed)
+                  if self.prefix64 is None else self.packed)
             self._device = {
-                "packed": jnp.asarray(self.packed),
+                "packed": jnp.asarray(pk),
                 "rev": rev,
                 "xlist": xlist,
                 "ylist": ylist,

@@ -53,6 +53,21 @@ def pack_codes(codes: np.ndarray, pad_words: int = 4) -> np.ndarray:
     return np.concatenate([words, np.zeros(pad_words, dtype=np.uint32)])
 
 
+def words_to_u64(words: np.ndarray) -> np.ndarray:
+    """Pair adjacent big-endian uint32 genome words into big-endian uint64
+    words (32 bases per 8-byte word): u64[i] = (w[2i] << 32) | w[2i+1].
+
+    Same bit layout, half the gather granules: a probe needing uint32
+    words [w0, w0+wq] fetches ceil((wq+2)/2) uint64s instead of wq+1
+    uint32s — the engine is gather-granule bound (docs/PERFORMANCE.md),
+    so this is the device-side genome representation (ops.query.probe_at
+    accepts either dtype and selects words by position parity)."""
+    w = words
+    if w.shape[0] % 2:
+        w = np.concatenate([w, np.zeros(1, np.uint32)])
+    return (w[0::2].astype(np.uint64) << np.uint64(32)) | w[1::2]
+
+
 def unpack_words(words: np.ndarray, n: int) -> np.ndarray:
     """Inverse of pack_codes (first n bases)."""
     w = words[: (n + BASES_PER_WORD - 1) // BASES_PER_WORD]

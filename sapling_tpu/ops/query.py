@@ -67,11 +67,27 @@ def probe_at(packed, pos, q_words_t, *, n: int, length: int) -> Probe:
     reason; wq is tiny and static so the Python loop fuses flat.
     """
     wq = (length + BASES_PER_WORD - 1) // BASES_PER_WORD
-    w0 = (pos >> 4).astype(jnp.int32)
     sh = ((pos & 15) << 1).astype(jnp.uint32)
     sh_nz = sh != 0
     rsh = (32 - sh) & 31
-    words = [jnp.take(packed, w0 + j) for j in range(wq + 1)]
+    if packed.dtype == jnp.uint64:
+        # 32 bases per 8-byte gather granule (ops.pack.words_to_u64):
+        # fetch ceil((wq+2)/2) uint64s covering uint32 words [w0, w0+wq]
+        # for either parity of w0, select per lane — 2 granules instead
+        # of 3 for k=21 probes on the no-prefix (multi-Gbp) path, bit-
+        # for-bit the same words.
+        u0 = (pos >> 5).astype(jnp.int32)
+        par_odd = ((pos >> 4) & 1) == 1
+        w64 = []
+        for j in range((wq + 3) // 2):
+            pair = jax.lax.bitcast_convert_type(
+                jnp.take(packed, u0 + j), jnp.uint32)
+            w64 += [pair[..., 1], pair[..., 0]]  # big-endian halves
+        words = [jnp.where(par_odd, w64[j + 1], w64[j])
+                 for j in range(wq + 1)]
+    else:
+        w0 = (pos >> 4).astype(jnp.int32)
+        words = [jnp.take(packed, w0 + j) for j in range(wq + 1)]
     zero = jnp.zeros_like(words[0])
     # first-differing-word selection, word 0 highest priority
     lcp_words = jnp.full(pos.shape, wq, jnp.int32)

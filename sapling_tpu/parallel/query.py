@@ -40,7 +40,11 @@ class ShardedQueryEngine:
                        if index.prefix64 is not None else None)
         self.prefix3 = (jax.device_put(index.prefix3, rep)
                         if index.prefix3 is not None else None)
-        self.packed = jax.device_put(index.packed, rep)
+        from ..ops import pack as packops
+
+        pk = (packops.words_to_u64(index.packed)
+              if index.prefix64 is None else index.packed)
+        self.packed = jax.device_put(pk, rep)
         self.rev = jax.device_put(index.rev, rep)
         self.xlist = jax.device_put(t.xlist, rep)
         self.ylist = jax.device_put(t.ylist, rep)

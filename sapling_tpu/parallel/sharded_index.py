@@ -105,7 +105,9 @@ class IndexShardedEngine:
         self.prefix3 = (
             jax.device_put(_pad_1d(index.prefix3, total), shd)
             if use_prefix and index.prefix3 is not None else None)
-        self.packed = jax.device_put(index.packed, rep)
+        pk = (packops.words_to_u64(index.packed)
+              if self.prefix is None else index.packed)
+        self.packed = jax.device_put(pk, rep)
         t = index.table
         self.xlist = jax.device_put(t.xlist, rep)
         self.ylist = jax.device_put(t.ylist, rep)

@@ -287,3 +287,35 @@ def test_banked_rev_matches_flat():
             err_msg=f"length={length}")
     np.testing.assert_array_equal(
         a.query_positions_binsearch(codes), b.query_positions_binsearch(codes))
+
+
+def test_u64_packed_probe_equals_u32():
+    """words_to_u64 pairing + parity-select in probe_at returns identical
+    positions to the uint32 word path (the uint64 view is the device
+    representation for multi-Gbp no-prefix indices)."""
+    import jax.numpy as jnp
+
+    from sapling_tpu.ops.query import plquery_batch
+
+    seq = np.concatenate([repeat_genome(1024, period=48, seed=31),
+                          uniform_genome(7168, seed=32)])
+    idx = SaplingIndex.build(
+        Genome(seq=seq, chr_ends=[(len(seq), "sim")]),
+        IndexConfig(k=21, buckets=9))
+    for length in (12, 21, 33):   # wq = 1, 2, 3
+        q = _sample_queries(seq, 300, length, seed=41)
+        codes = packops.encode_bases(q)
+        qw = packops.pack_queries(codes)
+        x = packops.batch_kmers_adjusted(codes, idx.k)
+        t = idx.table
+        kw = dict(n=idx.n, length=length, k=idx.k, buckets=idx.buckets,
+                  most_over=t.most_over, most_under=t.most_under,
+                  max_over=t.max_over, max_under=t.max_under)
+        r32 = plquery_batch(jnp.asarray(idx.packed), jnp.asarray(idx.rev),
+                            jnp.asarray(t.xlist), jnp.asarray(t.ylist),
+                            qw, x, **kw)
+        u64 = jnp.asarray(packops.words_to_u64(idx.packed))
+        r64 = plquery_batch(u64, jnp.asarray(idx.rev),
+                            jnp.asarray(t.xlist), jnp.asarray(t.ylist),
+                            qw, x, **kw)
+        np.testing.assert_array_equal(np.asarray(r64), np.asarray(r32))
