@@ -37,6 +37,12 @@ class QueryConfig:
     # backstop against livelock; the reference's loop is unbounded
     # (sapling_api.h:184-196).
     max_stride_steps: int = 1 << 20
+    # Probe each bucket's own max-error window before the reference's
+    # global windows (ops.query adaptive_bounds). Faster (smaller average
+    # bisection), still returns verified hits / -1s, but which member of
+    # a duplicate run comes back may differ from the reference — off by
+    # default to preserve byte parity.
+    adaptive_bounds: bool = False
 
 
 @dataclass

@@ -39,6 +39,14 @@ class PwlTable:
     mean_error: int
     most_over: int
     most_under: int
+    # per-bucket max |error| bounds, packed (over16 << 16) | under16,
+    # 0xFFFF = clipped (fall back to the global bounds). Powers the
+    # adaptive-bounds query variant (ops.query, adaptive_bounds=True):
+    # the reference charges every query the GLOBAL 95th-pct/max window
+    # (src/sapling_api.h:165-183), so the worst buckets set everyone's
+    # bisection depth; per-bucket bounds shrink the average window, which
+    # is what the gather-bound TPU engine actually pays for.
+    bounds: np.ndarray | None = None   # uint32 [2^buckets]
 
 
 @dataclass
@@ -153,6 +161,34 @@ def error_audit(
     return ErrorAudit(errors=errors, perfect_predictions=perfect)
 
 
+def bucket_bounds(kmers: np.ndarray, errors: np.ndarray, kbits: int,
+                  buckets: int, chunk: int = 1 << 26) -> np.ndarray:
+    """Per-bucket max over/under prediction error, packed into uint32
+    (over16 << 16) | under16, clipped at 0xFFFF (sentinel: use the global
+    bounds). Chunked sort+reduceat keeps multi-Gbp audits within RAM."""
+    nb = 1 << buckets
+    shift = kbits - buckets
+    over = np.zeros(nb, dtype=np.int64)
+    under = np.zeros(nb, dtype=np.int64)
+    m = kmers.shape[0]
+    for lo in range(0, m, chunk):
+        hi = min(lo + chunk, m)
+        b = (kmers[lo:hi] >> shift).astype(np.int64)
+        e = errors[lo:hi].astype(np.int64)
+        order = np.argsort(b, kind="stable")
+        bs, es = b[order], e[order]
+        uniq = np.flatnonzero(np.diff(bs, prepend=np.int64(-1)))
+        mx = np.maximum.reduceat(es, uniq)
+        mn = np.minimum.reduceat(es, uniq)
+        ub = bs[uniq]
+        np.maximum.at(over, ub, mx)
+        np.maximum.at(under, ub, -mn)
+    np.clip(over, 0, 0xFFFF, out=over)
+    np.clip(under, 0, 0xFFFF, out=under)
+    return ((over.astype(np.uint32) << np.uint32(16))
+            | under.astype(np.uint32))
+
+
 def error_stats(audit: ErrorAudit, most_threshold: float = 0.95):
     """errorStats (reference :342-379), including its exact integer/index
     truncation semantics."""
@@ -203,6 +239,7 @@ def build_pwl(
         mean_error=me,
         most_over=so,
         most_under=su,
+        bounds=bucket_bounds(kmers, audit.errors, kbits, buckets),
     )
     if return_audit:
         return table, audit, kmers

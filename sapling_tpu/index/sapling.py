@@ -138,7 +138,7 @@ class SaplingIndex:
         names = np.array([nm for _, nm in self.chr_ends])
         artifacts.save_npz(
             path,
-            format_version=np.int64(2),
+            format_version=np.int64(3),
             n=np.int64(self.n), k=np.int64(self.k),
             buckets=np.int64(self.buckets),
             packed=self.packed, rev=self.rev, inv=self.inv,
@@ -154,9 +154,12 @@ class SaplingIndex:
                      else np.zeros(0, np.uint64)),
             lcpk_fwd=self.lcpk_fwd if self.lcpk_fwd is not None else np.zeros(0, np.uint8),
             lcpk_bwd=self.lcpk_bwd if self.lcpk_bwd is not None else np.zeros(0, np.uint8),
+            bounds=(self.table.bounds if self.table.bounds is not None
+                    else np.zeros(0, np.uint32)),
         )
 
-    SUPPORTED_FORMATS = (1, 2)  # 1: pre-prefix3 artifacts (no field)
+    # 1: pre-prefix3 artifacts; 2: +prefix3; 3: +per-bucket bounds
+    SUPPORTED_FORMATS = (1, 2, 3)
 
     @classmethod
     def load(cls, path: str) -> "SaplingIndex":
@@ -171,6 +174,8 @@ class SaplingIndex:
             buckets=int(z["buckets"]), xlist=z["xlist"], ylist=z["ylist"],
             max_over=int(st[0]), max_under=int(st[1]), mean_error=int(st[2]),
             most_over=int(st[3]), most_under=int(st[4]),
+            bounds=(z["bounds"] if "bounds" in z and z["bounds"].size
+                    else None),
         )
         chr_ends = [(int(e), str(nm)) for e, nm in
                     zip(z["chr_end_pos"], z["chr_end_name"])]
@@ -255,6 +260,8 @@ class SaplingIndex:
                            if self.prefix64 is not None else None),
                 "prefix3": (jnp.asarray(self.prefix3)
                             if self.prefix3 is not None else None),
+                "bounds": (jnp.asarray(self.table.bounds)
+                           if self.table.bounds is not None else None),
             }
         return self._device
 
@@ -279,11 +286,13 @@ class SaplingIndex:
         out = plquery_batch(
             dev["packed"], dev["rev"], dev["xlist"], dev["ylist"],
             q_words, x, dev.get("prefix"), dev.get("prefix3"), q3,
+            dev.get("bounds"),
             n=self.n, length=int(codes2d.shape[1]), k=self.k,
             buckets=self.buckets,
             most_over=t.most_over, most_under=t.most_under,
             max_over=t.max_over, max_under=t.max_under,
             max_stride_steps=qcfg.max_stride_steps,
+            adaptive_bounds=qcfg.adaptive_bounds,
         )
         return np.asarray(out)
 

@@ -423,9 +423,24 @@ def _masked_binary_search(probe_fn, lo, hi, res, resolved):
     return res, resolved
 
 
+def _lane_bounds(bounds, x, *, kbits: int, buckets: int, most_over: int,
+                 most_under: int):
+    """Per-lane (over, under) window bounds from the packed per-bucket max
+    array (index.pwl.bucket_bounds). Clamped into the global 'most' bounds
+    so the adaptive escalation ladder stays nested (bucket ⊆ most ⊆ max);
+    clipped buckets (0xFFFF) therefore fall back to the global window.
+    bounds is per-BUCKET (small) and stays replicated under index
+    sharding, so the gather is always local."""
+    b = (x >> (kbits - buckets)).astype(jnp.int32)
+    bw = jnp.take(bounds, b)
+    bo = (bw >> 16).astype(jnp.int32)
+    bu = (bw & 0xFFFF).astype(jnp.int32)
+    return jnp.minimum(bo, most_over), jnp.minimum(bu, most_under)
+
+
 def _plquery_fast3(rev, prefix3, q3, x, xlist, ylist, *, n, length, k,
                    buckets, most_over, most_under, max_over, max_under, idt,
-                   take=take_rank):
+                   take=take_rank, bounds=None):
     """plQuery via 3-bit prefix probes: ONE 8-byte gather per probe round,
     suffix-array RANKS tracked throughout, a single rev gather at the end.
     Exact reference decision sequence; valid for length <= min(k, 21)
@@ -444,15 +459,39 @@ def _plquery_fast3(rev, prefix3, q3, x, xlist, ylist, *, n, length, k,
     rank_res = jnp.where(p0.match, pred, rank_res)
     dir_right = p0.smaller
 
+    if bounds is not None:
+        # adaptive pre-phase: this bucket's own max-error window. Present
+        # length-k queries always resolve here (the bound is a true max),
+        # so the average bisection depth tracks the lane's own bucket,
+        # not the global 95th-percentile window.
+        bo, bu = _lane_bounds(bounds, x, kbits=2 * k, buckets=buckets,
+                              most_over=most_over, most_under=most_under)
+        a_right = jnp.minimum(jnp.int64(n - 1), pred_w + bo).astype(idt)
+        a_left = jnp.maximum(jnp.int64(0), pred_w - bu).astype(idt)
+        aedge = jnp.where(dir_right, a_right, a_left)
+        p1 = probe(jnp.where(resolved, 0, aedge))
+        hit1 = ~resolved & p1.match
+        rank_res = jnp.where(hit1, aedge, rank_res)
+        resolved = resolved | hit1
+        need_a = ~resolved & jnp.where(dir_right, p1.smaller,
+                                       ~p1.match & ~p1.smaller)
+        lo = jnp.where(dir_right, pred, a_left)
+        hi = jnp.where(dir_right, a_right, pred)
+    else:
+        need_a = ~resolved
+        lo = jnp.where(dir_right, pred, e_left)
+        hi = jnp.where(dir_right, e_right, pred)
+
     edge = jnp.where(dir_right, e_right, e_left)
-    pa = probe(jnp.where(resolved, 0, edge))
-    hit_a = ~resolved & pa.match
+    pa = probe(jnp.where(need_a, edge, 0))
+    hit_a = need_a & pa.match
     rank_res = jnp.where(hit_a, edge, rank_res)
     resolved = resolved | hit_a
-    escalate = ~resolved & jnp.where(dir_right, pa.smaller,
-                                     ~pa.match & ~pa.smaller)
-    lo = jnp.where(dir_right, pred, e_left)
-    hi = jnp.where(dir_right, e_right, pred)
+    escalate = need_a & ~hit_a & jnp.where(dir_right, pa.smaller,
+                                           ~pa.match & ~pa.smaller)
+    if bounds is not None:
+        lo = jnp.where(need_a, jnp.where(dir_right, a_right, e_left), lo)
+        hi = jnp.where(need_a, jnp.where(dir_right, e_right, a_left), hi)
 
     b_right = jnp.minimum(jnp.int64(n - 1), pred_w + max_over + 1).astype(idt)
     b_left = jnp.maximum(jnp.int64(0), pred_w - max_under - 1).astype(idt)
@@ -495,17 +534,18 @@ def _plquery_fast3(rev, prefix3, q3, x, xlist, ylist, *, n, length, k,
     static_argnames=(
         "n", "length", "k", "buckets", "most_over", "most_under",
         "max_over", "max_under", "max_stride_steps", "window_scan",
-        "multiprobe", "shard_spec",
+        "multiprobe", "shard_spec", "adaptive_bounds",
     ),
 )
 def plquery_batch(
     packed, rev, xlist, ylist, q_words, x, prefix=None, prefix3=None,
-    q3=None,
+    q3=None, bounds=None,
     *, n: int, length: int, k: int, buckets: int,
     most_over: int, most_under: int, max_over: int, max_under: int,
     max_stride_steps: int = 1 << 20, window_scan: bool | None = None,
     multiprobe: bool = False,
     shard_spec: tuple[str, int] | None = None,
+    adaptive_bounds: bool = False,
 ):
     """Batched Sapling::plQuery (reference: src/sapling_api.h:159-248).
 
@@ -516,11 +556,25 @@ def plquery_batch(
     axis (call inside shard_map; see parallel.sharded_index). Probes
     gather locally and combine with a psum — decision sequence, and hence
     results, are bit-identical to the replicated engine.
+
+    adaptive_bounds: probe this bucket's own max-error window (`bounds`,
+    index.pwl.bucket_bounds) before the reference's global windows.
+    Returned positions remain verified hits / -1s, but the SEARCH ORDER
+    differs from the reference, so which member of a duplicate run is
+    returned may differ — off by default to preserve the byte-parity
+    contract; found/-1 status is unchanged (a nested escalation ladder
+    ends at the reference's own max window).
     """
     idt = _state_dtype(_rev_dtype(rev))
     take = make_take(shard_spec)
     if shard_spec is not None and window_scan:
         raise NotImplementedError("window_scan under index sharding")
+    if adaptive_bounds and (window_scan or multiprobe):
+        raise NotImplementedError(
+            "adaptive_bounds composes with the sequential cascade only")
+    if adaptive_bounds and bounds is None:
+        raise ValueError("adaptive_bounds=True needs the bounds array")
+    ab = bounds if adaptive_bounds else None
     from .pack import P3_BASES
 
     if (prefix3 is not None and q3 is not None and length <= k
@@ -528,7 +582,8 @@ def plquery_batch(
         return _plquery_fast3(
             rev, prefix3, q3, x, xlist, ylist, n=n, length=length, k=k,
             buckets=buckets, most_over=most_over, most_under=most_under,
-            max_over=max_over, max_under=max_under, idt=idt, take=take)
+            max_over=max_over, max_under=max_under, idt=idt, take=take,
+            bounds=ab)
     probe_rank = make_rank_probe(packed, rev, prefix, q_words,
                                  n=n, length=length, idt=idt, take=take)
     pred64 = predict_pwl(x, xlist, ylist, 2 * k, buckets, n)
@@ -639,19 +694,44 @@ def plquery_batch(
         res = jnp.where(p0.match, idx0, res)
         dir_right = p0.smaller  # suffix at pred < query -> search right
 
+        if ab is not None:
+            # adaptive pre-phase: this bucket's own max-error window
+            # (see _plquery_fast3; same ladder, position-typed results)
+            bo, bu = _lane_bounds(ab, x, kbits=2 * k, buckets=buckets,
+                                  most_over=most_over,
+                                  most_under=most_under)
+            a_right = jnp.minimum(jnp.int64(n - 1),
+                                  pred_w + bo).astype(idt)
+            a_left = jnp.maximum(jnp.int64(0), pred_w - bu).astype(idt)
+            aedge = jnp.where(dir_right, a_right, a_left)
+            aidx, p1 = probe_rank(jnp.where(resolved, 0, aedge))
+            hit1 = ~resolved & p1.match
+            res = jnp.where(hit1, aidx, res)
+            resolved = resolved | hit1
+            need_a = ~resolved & jnp.where(dir_right, p1.smaller,
+                                           ~p1.match & ~p1.smaller)
+            lo = jnp.where(dir_right, pred, a_left)
+            hi = jnp.where(dir_right, a_right, pred)
+        else:
+            need_a = ~resolved
+            lo = jnp.where(dir_right, pred, e_left)
+            hi = jnp.where(dir_right, e_right, pred)
+
         # --- phase A: 'most' window edge (:171-174 right, :209-213 left) ---
         edge = jnp.where(dir_right, e_right, e_left)
-        edge_idx, pa = probe_rank(jnp.where(resolved, 0, edge))
-        hit_a = ~resolved & pa.match
+        edge_idx, pa = probe_rank(jnp.where(need_a, edge, 0))
+        hit_a = need_a & pa.match
         res = jnp.where(hit_a, edge_idx, res)
         resolved = resolved | hit_a
         # escalation (:175 right-still-smaller, :214/:221 left-still-bigger)
         bigger_a = ~pa.match & ~pa.smaller
-        escalate = ~resolved & jnp.where(dir_right, pa.smaller, bigger_a)
-
-        # good-case bounds
-        lo = jnp.where(dir_right, pred, e_left)
-        hi = jnp.where(dir_right, e_right, pred)
+        escalate = need_a & ~hit_a & jnp.where(dir_right, pa.smaller,
+                                               bigger_a)
+        if ab is not None:
+            lo = jnp.where(need_a, jnp.where(dir_right, a_right, e_left),
+                           lo)
+            hi = jnp.where(need_a, jnp.where(dir_right, e_right, a_left),
+                           hi)
 
     # --- phase B: 'max' window edge (:180-183 right, :225-228 left) --------
     b_right = jnp.minimum(jnp.int64(n - 1), pred_w + max_over + 1).astype(idt)

@@ -111,6 +111,9 @@ class IndexShardedEngine:
         t = index.table
         self.xlist = jax.device_put(t.xlist, rep)
         self.ylist = jax.device_put(t.ylist, rep)
+        # per-BUCKET bounds are small -> replicated; probes stay local
+        self.bounds = (jax.device_put(t.bounds, rep)
+                       if t.bounds is not None else None)
         self._fns: dict = {}
 
     # --- internals ----------------------------------------------------------
@@ -137,11 +140,11 @@ class IndexShardedEngine:
         return q_words, x, q3, b, length
 
     def _sharded_call(self, kind: str, length: int, use3: bool,
-                      max_stride_steps: int):
+                      max_stride_steps: int, adaptive_bounds: bool = False):
         """Build (and cache) the shard_map-wrapped kernel for one query
         shape class. The inner plquery/binsearch jit caches per shape; the
         outer jit caches the shard_map wrapping."""
-        key = (kind, length, use3, max_stride_steps)
+        key = (kind, length, use3, max_stride_steps, adaptive_bounds)
         if key in self._fns:
             return self._fns[key]
         idx = self.index
@@ -158,6 +161,9 @@ class IndexShardedEngine:
             if use3:
                 names += ["prefix3", "q3"]
                 specs += [P(ia), P(dp)]
+            if adaptive_bounds:
+                names.append("bounds")
+                specs.append(P())
 
         def shard_fn(*a):
             kw = dict(zip(names, a))
@@ -168,11 +174,12 @@ class IndexShardedEngine:
             return plquery_batch(
                 kw["packed"], kw["rev"], kw["xlist"], kw["ylist"],
                 kw["q_words"], kw["x"], kw.get("prefix"),
-                kw.get("prefix3"), kw.get("q3"),
+                kw.get("prefix3"), kw.get("q3"), kw.get("bounds"),
                 n=idx.n, length=length, k=idx.k, buckets=idx.buckets,
                 most_over=t.most_over, most_under=t.most_under,
                 max_over=t.max_over, max_under=t.max_under,
-                max_stride_steps=max_stride_steps, shard_spec=spec)
+                max_stride_steps=max_stride_steps, shard_spec=spec,
+                adaptive_bounds=adaptive_bounds)
 
         fn = jax.jit(jax.shard_map(
             shard_fn, mesh=self.mesh,
@@ -185,20 +192,23 @@ class IndexShardedEngine:
             "packed": self.packed, "rev": self.rev, "xlist": self.xlist,
             "ylist": self.ylist, "q_words": q_words, "x": x,
             "prefix": self.prefix, "prefix3": self.prefix3, "q3": q3,
+            "bounds": self.bounds,
         }
         return [by_name[nm] for nm in names]
 
     # --- queries ------------------------------------------------------------
 
     def query_positions(self, codes2d: np.ndarray,
-                        max_stride_steps: int = 1 << 20) -> np.ndarray:
+                        max_stride_steps: int = 1 << 20,
+                        adaptive_bounds: bool = False) -> np.ndarray:
         """[B, L] base codes -> [B] genome positions; bit-identical to
         SaplingIndex.query_positions (same decision sequence, distributed
-        gathers)."""
+        gathers). adaptive_bounds: see ops.query.plquery_batch (flagged
+        search-order variant)."""
         q_words, x, q3, b, length = self._pack_batch(codes2d)
         use3 = q3 is not None
         fn, names = self._sharded_call("plquery", length, use3,
-                                       max_stride_steps)
+                                       max_stride_steps, adaptive_bounds)
         out = fn(*self._base_args(names, q_words, x, q3))
         return np.asarray(out)[:b]
 

@@ -319,3 +319,37 @@ def test_u64_packed_probe_equals_u32():
                             jnp.asarray(t.xlist), jnp.asarray(t.ylist),
                             qw, x, **kw)
         np.testing.assert_array_equal(np.asarray(r64), np.asarray(r32))
+
+
+def test_adaptive_bounds_variant():
+    """adaptive_bounds=True probes the bucket's own max-error window first
+    (flagged: search order differs from the reference, so duplicate-run
+    members may differ). Invariants vs the parity engine: every lane the
+    parity engine resolves to a VERIFIED hit stays a verified hit, and
+    UNIQUE hits return the identical position. (Absent queries carry no
+    invariant: the reference itself returns -1 or an unverified rank
+    depending on search path — base case src/sapling_api.h:136.)"""
+    from sapling_tpu.config import QueryConfig
+
+    seq = np.concatenate([repeat_genome(2048, period=64, seed=51),
+                          uniform_genome(6144, seed=52)])
+    idx = SaplingIndex.build(
+        Genome(seq=seq, chr_ends=[(len(seq), "sim")]),
+        IndexConfig(k=21, buckets=8))
+    assert idx.table.bounds is not None
+    qc = QueryConfig(adaptive_bounds=True)
+    n = idx.n
+    for length in (11, 21, 33):   # fast3 / fast3 / packed-probe paths
+        q = _sample_queries(seq, 400, length, seed=61 + length)
+        codes = packops.encode_bases(q)
+        base = idx.query_positions(codes)
+        adap = idx.query_positions(codes, qc)
+        ok_b = idx.verify_hits(codes, base)
+        ok_a = idx.verify_hits(codes, adap)
+        assert (ok_a | ~ok_b).all(), f"lost verified hits L={length}"
+        # unique verified hits must agree exactly
+        win = np.lib.stride_tricks.sliding_window_view(seq, length)
+        for i in np.flatnonzero(ok_b)[:80]:
+            cnt = int((win == q[i]).all(axis=1).sum())
+            if cnt == 1:
+                assert adap[i] == base[i], f"unique hit L={length} lane {i}"

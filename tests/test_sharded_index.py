@@ -97,3 +97,17 @@ def test_split_ranks_40bit_values():
     i = rng.integers(0, 4096, 1000)
     got = np.asarray(take_rank(sr, jnp.asarray(i)))
     np.testing.assert_array_equal(got, vals[i])
+
+
+def test_sharded_adaptive_bounds(idx):
+    """adaptive_bounds through the sharded probes: must equal the
+    single-device adaptive engine exactly (identical ladder, distributed
+    gathers)."""
+    from sapling_tpu.config import QueryConfig
+
+    mesh = make_mesh(8, tp=4, axes=("dp", "idx"))
+    eng = IndexShardedEngine(idx, mesh)
+    codes = _mixed_queries(idx, 21, nq=256, seed=21)
+    want = idx.query_positions(codes, QueryConfig(adaptive_bounds=True))
+    got = eng.query_positions(codes, adaptive_bounds=True)
+    np.testing.assert_array_equal(got, want)
