@@ -19,6 +19,7 @@ int64 divisions.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -27,6 +28,47 @@ def _divmod_nonneg(p, d):
     """Exact (q, r) for p >= 0, d > 0, works in jnp or np."""
     q = p // d
     return q, p - q * d
+
+
+def _as_i64(arr, xp):
+    """Materialize a table (int64 array or split-(hi,lo)-u32 tuple) as
+    one int64 vector — elementwise over the small table, no gathers."""
+    i64 = jnp.int64 if xp is jnp else np.int64
+    if isinstance(arr, tuple):
+        return (arr[0].astype(i64) << 32) | arr[1].astype(i64)
+    return arr if arr.dtype == i64 else arr.astype(i64)
+
+
+def _endpoints_packed(bucket, xlist, ylist):
+    """Checkpoint gathers via one uint64 + one uint16 per endpoint.
+
+    The int64 tables cost two u32 gather OPS per value under the
+    X64-rewrite — 8 per prediction, measured as the single largest cost
+    of a k=21 query (docs/PERFORMANCE.md; gather ops cost per-lane
+    throughput regardless of masking, so any per-lane fallback scheme
+    loses). Deterministic repack: xy64[j] = (x_low32 << 32) | y and
+    xhi16[j] = x >> 32 — exact for every entry whenever y < 2^32
+    (n <= 4.3 Gbp) and x < 2^48 (k <= 24), i.e. 4 cheap gather ops, no
+    fallback. Reconstruction is exact int math — bit-identical
+    predictions. Built elementwise on device (tiny vs one gather round);
+    XLA hoists it out of query loops."""
+    xl64 = _as_i64(xlist, jnp)
+    yl64 = _as_i64(ylist, jnp)
+    xy = ((xl64.astype(jnp.uint64) << 32)
+          | (yl64.astype(jnp.uint64) & jnp.uint64(0xFFFFFFFF)))
+    xh = (xl64 >> 32).astype(jnp.uint16)
+
+    def endpoint(j):
+        w = jnp.take(xy, j)
+        h = jnp.take(xh, j)
+        pair = jax.lax.bitcast_convert_type(w, jnp.uint32)
+        y32, x32 = pair[..., 0], pair[..., 1]
+        x = (h.astype(jnp.int64) << 32) | x32.astype(jnp.int64)
+        return x, y32.astype(jnp.int64)
+
+    xlo, ylo = endpoint(bucket)
+    xhi, yhi = endpoint(bucket + 1)
+    return xlo, xhi, ylo, yhi
 
 
 def predict_pwl(x, xlist, ylist, kbits: int, buckets: int, n: int, xp=jnp):
@@ -59,10 +101,13 @@ def predict_pwl(x, xlist, ylist, kbits: int, buckets: int, n: int, xp=jnp):
             v = v.astype(jnp.int64 if xp is jnp else np.int64)
         return v
 
-    xlo = tk(xlist, bucket)
-    xhi = tk(xlist, bucket + 1)
-    ylo = tk(ylist, bucket)
-    yhi = tk(ylist, bucket + 1)
+    if xp is jnp and n <= (1 << 32) and kbits <= 48:
+        xlo, xhi, ylo, yhi = _endpoints_packed(bucket, xlist, ylist)
+    else:
+        xlo = tk(xlist, bucket)
+        xhi = tk(xlist, bucket + 1)
+        ylo = tk(ylist, bucket)
+        yhi = tk(ylist, bucket + 1)
 
     m = yhi - ylo          # >= 0 (ylist nondecreasing), < n
     nn = x - xlo           # may be negative for out-of-genome kmers

@@ -2,7 +2,7 @@
 """Query-throughput benchmark for any cached index artifact.
 
     python tools/bench_query_scale.py <index.stpu.npz> [nq=5000000]
-        [qLen=21] [iters=10]
+        [qLen=21] [iters=10] [adaptive=0]
 
 Honest timing per docs/PERFORMANCE.md: index arrays passed as jit
 ARGUMENTS (closure capture would ship them to the remote compiler as
@@ -38,6 +38,7 @@ def main(argv):
     nq = int(kv.get("nq", 5_000_000))
     qlen = int(kv.get("qLen", 21))
     iters = int(kv.get("iters", 10))
+    adaptive = bool(int(kv.get("adaptive", 0)))
 
     t0 = time.time()
     idx = SaplingIndex.load(argv[1])
@@ -56,20 +57,24 @@ def main(argv):
     q3 = jax.device_put(packops.pack_queries3(codes2d)) if use3 else None
     darr = idx.device_arrays()
     arrs = [darr["packed"], darr["rev"], darr["xlist"], darr["ylist"],
-            darr.get("prefix"), darr.get("prefix3")]
+            darr.get("prefix"), darr.get("prefix3"), darr.get("bounds")]
+    if adaptive and darr.get("bounds") is None:
+        raise SystemExit("adaptive=1 needs a v3 index with bounds "
+                         "(rebuild or tools/add_bucket_bounds.py)")
     rv = darr["rev"]
     rdt = rv[0].dtype if isinstance(rv, tuple) else rv.dtype
     state_dt = jnp.int64 if np.dtype(rdt) == np.uint32 else rdt
 
     @jax.jit
-    def run_k(qw, xx0, q3a, packed, rev, xl, yl, pfx, pfx3):
+    def run_k(qw, xx0, q3a, packed, rev, xl, yl, pfx, pfx3, bnd):
         def body(_, carry):
             xx, _p = carry
             out = plquery_batch(
-                packed, rev, xl, yl, qw, xx, pfx, pfx3, q3a,
+                packed, rev, xl, yl, qw, xx, pfx, pfx3, q3a, bnd,
                 n=idx.n, length=qlen, k=idx.k, buckets=idx.buckets,
                 most_over=t.most_over, most_under=t.most_under,
-                max_over=t.max_over, max_under=t.max_under)
+                max_over=t.max_over, max_under=t.max_under,
+                adaptive_bounds=adaptive)
             return xx + out[0] * 0, out
 
         return jax.lax.fori_loop(
@@ -85,7 +90,7 @@ def main(argv):
     sample = min(nq, 200_000)
     ok = int(idx.verify_hits(codes2d[:sample], pos[:sample]).sum())
     print(f"plquery qLen={qlen}: {nq/dt:,.0f} q/s "
-          f"(fast3={use3}); self-check {ok}/{sample}")
+          f"(fast3={use3}, adaptive={adaptive}); self-check {ok}/{sample}")
     if ok != sample:
         raise SystemExit("self-check FAILED")
     return 0

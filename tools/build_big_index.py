@@ -46,8 +46,9 @@ def _fwd_runs_from_ok(ok: np.ndarray) -> np.ndarray:
 
 def main(argv):
     from sapling_tpu.config import parse_keyval_args
-    from sapling_tpu.index.pwl import (PwlTable, build_checkpoints,
-                                       error_audit, error_stats)
+    from sapling_tpu.index.pwl import (PwlTable, bucket_bounds,
+                                       build_checkpoints, error_audit,
+                                       error_stats)
     from sapling_tpu.index.sapling import SaplingIndex
     from sapling_tpu.native import build_suffix_array, lcp_kasai
     from sapling_tpu.ops import pack as packops
@@ -100,7 +101,10 @@ def main(argv):
     log(f"checkpoints done ({time.time()-t1:.0f}s); error audit")
     t1 = time.time()
     audit = error_audit(kmers, inv32, None, xlist, ylist, k, nb, n, fwd=fwd)
-    del kmers, fwd
+    del fwd
+    gc.collect()
+    bnd = bucket_bounds(kmers, audit.errors, 2 * k, nb)
+    del kmers
     gc.collect()
     mo, mu, me, so, su = error_stats(audit)
     log(f"audit done ({time.time()-t1:.0f}s): max=({mo},{mu}) "
@@ -110,7 +114,7 @@ def main(argv):
 
     table = PwlTable(buckets=nb, xlist=xlist, ylist=ylist, max_over=mo,
                      max_under=mu, mean_error=me, most_over=so,
-                     most_under=su)
+                     most_under=su, bounds=bnd)
     log("building rev (uint32) + packing genome")
     rev = np.empty(n, dtype=np.uint32)
     rev[inv32] = np.arange(n, dtype=np.uint32)
