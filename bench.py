@@ -31,6 +31,9 @@ import numpy as np
 
 GENOME_N = 4_600_000
 K = 21
+NB = 22   # bucket count: best of the on-chip sweep (docs/PERFORMANCE.md);
+          # the reference's headline likewise uses its best (25%-overhead)
+          # bucket config (eval/TimingPlot/plot.py:23)
 NQ = 5_000_000
 BATCH = 1_000_000
 REF_BEST_QPS = 5_000_000 / 19.0  # reference Sapling 25% overhead, E. coli
@@ -47,13 +50,13 @@ def build_index():
     from sapling_tpu.sim.genomes import benchmark_genome
 
     os.makedirs(CACHE, exist_ok=True)
-    npz = os.path.join(CACHE, f"bench_{GENOME_N}_k{K}.stpu.npz")
+    npz = os.path.join(CACHE, f"bench_{GENOME_N}_k{K}_b{NB}.stpu.npz")
     if os.path.exists(npz):
         log(f"loading cached index {npz}")
         return SaplingIndex.load(npz)
     t0 = time.time()
     genome = benchmark_genome(GENOME_N)
-    idx = SaplingIndex.build(genome, IndexConfig(k=K))
+    idx = SaplingIndex.build(genome, IndexConfig(k=K, buckets=NB))
     log(f"index build: {time.time() - t0:.1f}s (n={idx.n}, buckets=2^{idx.buckets})")
     idx.save(npz)
     return idx
