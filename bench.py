@@ -96,16 +96,16 @@ def main():
 
     iters = 10
     arrs = [darr["packed"], darr["rev"], darr["xlist"], darr["ylist"],
-            darr.get("prefix"), darr.get("prefix3")]
+            darr.get("prefix"), darr.get("prefix3"), darr.get("ptab")]
 
     # index arrays are ARGUMENTS (closure capture would bake them into the
     # lowering as constants and ship GBs to the remote compiler)
     @jax.jit
-    def run_k(qw, xx0, q3a, packed, rev, xl, yl, pfx, pfx3):
+    def run_k(qw, xx0, q3a, packed, rev, xl, yl, pfx, pfx3, ptab):
         def body(_, carry):
             xx, _prev = carry
             out = plquery_batch(
-                packed, rev, xl, yl, qw, xx, pfx, pfx3, q3a,
+                packed, rev, xl, yl, qw, xx, pfx, pfx3, q3a, ptab=ptab,
                 n=idx.n, length=K, k=idx.k, buckets=idx.buckets,
                 most_over=t.most_over, most_under=t.most_under,
                 max_over=t.max_over, max_under=t.max_under)

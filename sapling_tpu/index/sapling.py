@@ -207,26 +207,36 @@ class SaplingIndex:
 
     # --- device state --------------------------------------------------------
 
-    def device_arrays(self, rev_bank_bits: int | None = None):
+    def device_arrays(self, rev_bank_bits: int | None = None,
+                      rev_pair: bool | None = None,
+                      use_ptab: bool | None = None):
         """Lazily put the hot arrays on the default device.
 
         XLA TPU gathers need int32-indexable operands, so a rev with more
-        than 2^31-1 entries (GRCh38-scale) becomes a TUPLE of 1-D banks
-        gathered per-bank (ops.query.take_rank; 1-D arrays tile without
-        padding waste, unlike a [banks, 2^b] matrix whose tiny sublane
-        axis would pad). At the same scale the int64 PWL table ships as
-        pre-split (hi, lo) uint32 pairs — the X64-rewrite pass would
-        otherwise materialize duplicate 32-bit copies on device.
-        rev_bank_bits forces a bank size (tests use small values)."""
+        than 2^31-1 entries (GRCh38-scale) ships as its uint64 pair view
+        (ops.query.PairedU32): one 8-byte gather + a half select reaches
+        any rank — the former tuple-of-2^30-banks layout paid one
+        full-lane gather op PER BANK. At the same scale the int64 PWL
+        table ships as pre-split (hi, lo) uint32 pairs — the X64-rewrite
+        pass would otherwise materialize duplicate 32-bit copies on
+        device. rev_bank_bits forces the legacy banked layout, rev_pair
+        forces the pair view, use_ptab=True opts into the interleaved
+        checkpoint table (ops.predict.pack_ptab — measured SLOWER on
+        v5e, kept as a flagged search-space variant; tests exercise all
+        layouts at small n)."""
         if not self._device:
             import jax.numpy as jnp
+
+            from ..ops.query import PairedU32
 
             rev = self.rev
             big = rev.shape[0] > (1 << 31) - 1
             bits = rev_bank_bits
-            if bits is None and big:
-                bits = 30  # XLA rejects gather operands of >= 2^31 elements
-            if bits is not None:
+            if rev_pair is None:
+                rev_pair = big and bits is None
+            if rev_pair:
+                rev = PairedU32.pack(rev)
+            elif bits is not None:
                 bank = 1 << bits
                 rev = tuple(
                     jnp.asarray(rev[lo : lo + bank])
@@ -234,9 +244,24 @@ class SaplingIndex:
                 )
             else:
                 rev = jnp.asarray(rev)
+            from ..ops.predict import pack_ptab
+
             xl64 = self.table.xlist
             yl64 = self.table.ylist
-            if big or rev_bank_bits is not None:
+            ptab = None
+            if use_ptab is None:
+                # measured 10x SLOWER than the xy64+xhi16 repack on v5e
+                # and kernel-faults at 5M lanes (docs/PERFORMANCE.md:
+                # slice gathers give no op-count win); flag-off variant
+                use_ptab = False
+            if use_ptab:
+                assert self.n <= (1 << 32) and 2 * self.k <= 48
+                # exact interleaved checkpoint table: prediction becomes
+                # ONE sliced gather (ops.predict.pack_ptab); the split
+                # int64 tables are then not shipped at all
+                ptab = jnp.asarray(pack_ptab(xl64, yl64, self.table.bounds))
+                xlist = ylist = None
+            elif big or rev_bank_bits is not None:
                 xlist = (jnp.asarray((xl64 >> 32).astype(np.uint32)),
                          jnp.asarray((xl64 & 0xFFFFFFFF).astype(np.uint32)))
                 ylist = (jnp.asarray((yl64 >> 32).astype(np.uint32)),
@@ -256,6 +281,7 @@ class SaplingIndex:
                 "rev": rev,
                 "xlist": xlist,
                 "ylist": ylist,
+                "ptab": ptab,
                 "prefix": (jnp.asarray(self.prefix64)
                            if self.prefix64 is not None else None),
                 "prefix3": (jnp.asarray(self.prefix3)
@@ -286,7 +312,7 @@ class SaplingIndex:
         out = plquery_batch(
             dev["packed"], dev["rev"], dev["xlist"], dev["ylist"],
             q_words, x, dev.get("prefix"), dev.get("prefix3"), q3,
-            dev.get("bounds"),
+            dev.get("bounds"), dev.get("ptab"),
             n=self.n, length=int(codes2d.shape[1]), k=self.k,
             buckets=self.buckets,
             most_over=t.most_over, most_under=t.most_under,

@@ -39,6 +39,58 @@ def _as_i64(arr, xp):
     return arr if arr.dtype == i64 else arr.astype(i64)
 
 
+PTAB_COLS = 4  # u32 slots per checkpoint row: x_lo32, x_hi16, y32, bounds
+
+
+def pack_ptab(xlist, ylist, bounds=None):
+    """Host-side interleaved checkpoint table: flat uint32 [4*R + 4] with
+    row j at [4j, 4j+4) = (x_low32, x_high16, y, bounds_word_or_0).
+
+    ONE sliced 8-u32 gather (ops.query.take_slice) fetches BOTH
+    endpoints of a bucket. FLAG-OFF VARIANT: measured ~10x SLOWER than
+    the 4-gather xy64+xhi16 repack on v5e and kernel-faults at 5M lanes
+    — slice gathers cost per-ELEMENT like independent takes, not
+    per-op (docs/PERFORMANCE.md 2026-08-17). Kept behind
+    device_arrays(use_ptab=True) with bit-parity tests to document the
+    search space. Flat 1-D layout on purpose: a [R, 4] device array
+    would pad its trailing axis to 128 lanes (32x HBM blowup). Exact
+    whenever y < 2^32 (n <= 4.3 Gbp) and x < 2^48 (k <= 24) — the same
+    gate as _endpoints_packed. The bounds word ((over << 16) | under,
+    index.pwl.bucket_bounds) rides in the spare slot so the
+    adaptive-bounds variant costs no extra gather."""
+    xl = np.asarray(xlist, dtype=np.int64)
+    yl = np.asarray(ylist, dtype=np.int64)
+    r = xl.shape[0]
+    tbl = np.zeros(PTAB_COLS * r + PTAB_COLS, dtype=np.uint32)
+    tbl[0 : PTAB_COLS * r : PTAB_COLS] = (xl & 0xFFFFFFFF).astype(np.uint32)
+    tbl[1 : PTAB_COLS * r : PTAB_COLS] = (xl >> 32).astype(np.uint32)
+    tbl[2 : PTAB_COLS * r : PTAB_COLS] = (yl & 0xFFFFFFFF).astype(np.uint32)
+    if bounds is not None:
+        nb = min(len(bounds), r)
+        tbl[3 : PTAB_COLS * nb : PTAB_COLS] = np.asarray(
+            bounds[:nb], dtype=np.uint32)
+    return tbl
+
+
+def _endpoints_ptab(bucket, ptab):
+    """Both checkpoint endpoints of `bucket` from the interleaved table
+    in ONE sliced gather. Returns (xlo, xhi, ylo, yhi[, bw]) — bw is the
+    bucket's packed bounds word."""
+    from .query import take_slice
+
+    sl = take_slice(ptab, (bucket << 2).astype(jnp.int32), 2 * PTAB_COLS)
+    i64 = jnp.int64
+
+    def endpoint(o):
+        x = ((sl[..., o + 1].astype(i64) << 32)
+             | sl[..., o].astype(i64))
+        return x, sl[..., o + 2].astype(i64)
+
+    xlo, ylo = endpoint(0)
+    xhi, yhi = endpoint(PTAB_COLS)
+    return xlo, xhi, ylo, yhi, sl[..., 3]
+
+
 def _endpoints_packed(bucket, xlist, ylist):
     """Checkpoint gathers via one uint64 + one uint16 per endpoint.
 
@@ -71,7 +123,8 @@ def _endpoints_packed(bucket, xlist, ylist):
     return xlo, xhi, ylo, yhi
 
 
-def predict_pwl(x, xlist, ylist, kbits: int, buckets: int, n: int, xp=jnp):
+def predict_pwl(x, xlist, ylist, kbits: int, buckets: int, n: int, xp=jnp,
+                ptab=None):
     """Batched PWL prediction.
 
     x:      int64 [B] k-mer values
@@ -82,11 +135,16 @@ def predict_pwl(x, xlist, ylist, kbits: int, buckets: int, n: int, xp=jnp):
             clamps only below at 0 — src/sapling_api.h:107 — and reads
             rev[] out of bounds for x beyond the last checkpoint, which we
             refuse to reproduce).
+    ptab:   optional pack_ptab table — when given, both endpoints come
+            from ONE sliced gather and xlist/ylist may be None.
 
     Returns int64 [B] predicted suffix-array ranks.
     """
     shift = kbits - buckets
     bucket = (x >> shift).astype(jnp.int64 if xp is jnp else np.int64)
+    if ptab is not None:
+        xlo, xhi, ylo, yhi, _bw = _endpoints_ptab(bucket, ptab)
+        return _predict_from_endpoints(x, xlo, xhi, ylo, yhi, n, xp)
 
     def tk(arr, i):
         if isinstance(arr, tuple):
@@ -108,7 +166,10 @@ def predict_pwl(x, xlist, ylist, kbits: int, buckets: int, n: int, xp=jnp):
         xhi = tk(xlist, bucket + 1)
         ylo = tk(ylist, bucket)
         yhi = tk(ylist, bucket + 1)
+    return _predict_from_endpoints(x, xlo, xhi, ylo, yhi, n, xp)
 
+
+def _predict_from_endpoints(x, xlo, xhi, ylo, yhi, n, xp):
     m = yhi - ylo          # >= 0 (ylist nondecreasing), < n
     nn = x - xlo           # may be negative for out-of-genome kmers
     d = xhi - xlo          # > 0 unless degenerate bucket

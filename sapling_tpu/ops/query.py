@@ -43,6 +43,46 @@ class Probe(NamedTuple):
     off_end: jnp.ndarray  # bool [B]: comparison ran off the genome end
 
 
+def take_slice(arr, idx, m: int):
+    """Gather m CONSECUTIVE elements per lane as one gather: [..., m].
+
+    MEASURED NO WIN on the v5e backend (docs/PERFORMANCE.md 2026-08-17):
+    a slice gather costs the same as m independent single-element
+    gathers at m=2-3 (cost scales with lanes x elements-per-lane, not
+    op count — only wider element TYPES, e.g. the uint64 pair granule,
+    reduce cost), and m=8 on a 5M-lane batch FAULTS THE TPU KERNEL.
+    Kept only for the flag-off ptab variant (ops.predict.pack_ptab);
+    do not put this on a default path. Start indices are clamped to
+    len-m — callers must pad the operand so in-range lanes never clamp
+    (a clamp SHIFTS the window)."""
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(idx.ndim,), collapsed_slice_dims=(),
+        start_index_map=(0,))
+    return jax.lax.gather(
+        arr, idx[..., None].astype(jnp.int32), dn, slice_sizes=(m,),
+        mode=jax.lax.GatherScatterMode.CLIP)
+
+
+class PairedU32(NamedTuple):
+    """A uint32 array with >= 2^31 elements, stored as its uint64 pair
+    view so one gather op reaches any element: XLA TPU gathers need
+    int32-indexable operands, and the former workaround — a tuple of
+    2^30-element banks — paid one full-lane gather op PER BANK (3-4 ops
+    for a GRCh38-scale rev). w64[j] = arr[2j] | arr[2j+1] << 32; the
+    half is selected per lane after one 8-byte gather."""
+
+    w64: jnp.ndarray  # uint64 [ceil(len/2)]
+
+    @staticmethod
+    def pack(arr) -> "PairedU32":
+        import numpy as _np
+
+        a = _np.ascontiguousarray(arr, dtype=_np.uint32)
+        if a.shape[0] % 2:
+            a = _np.concatenate([a, _np.zeros(1, _np.uint32)])
+        return PairedU32(w64=jnp.asarray(a.view(_np.uint64)))
+
+
 def _clz32(x: jnp.ndarray) -> jnp.ndarray:
     """Count leading zeros of uint32 via smear + popcount."""
     x = x | (x >> 1)
@@ -75,7 +115,9 @@ def probe_at(packed, pos, q_words_t, *, n: int, length: int) -> Probe:
         # fetch ceil((wq+2)/2) uint64s covering uint32 words [w0, w0+wq]
         # for either parity of w0, select per lane — 2 granules instead
         # of 3 for k=21 probes on the no-prefix (multi-Gbp) path, bit-
-        # for-bit the same words.
+        # for-bit the same words. (A take_slice fetch of the same words
+        # measured exactly equal at m=2-3 and kernel-faults at m=8 —
+        # docs/PERFORMANCE.md — so per-word takes stay.)
         u0 = (pos >> 5).astype(jnp.int32)
         par_odd = ((pos >> 4) & 1) == 1
         w64 = []
@@ -155,6 +197,10 @@ def take_rank(rev, idx):
         lo = take_rank(rev.lo, idx).astype(jnp.int64)
         hi = take_rank(rev.hi, idx).astype(jnp.int64)
         return (hi << 32) | lo
+    if isinstance(rev, PairedU32):
+        pair = jax.lax.bitcast_convert_type(
+            jnp.take(rev.w64, (idx >> 1).astype(jnp.int32)), jnp.uint32)
+        return jnp.where((idx & 1) == 0, pair[..., 0], pair[..., 1])
     if not isinstance(rev, (tuple, list)):
         return jnp.take(rev, idx)
     bank_bits = int(rev[0].shape[0]).bit_length() - 1
@@ -325,6 +371,8 @@ def _state_dtype(storage_dtype):
 def _rev_dtype(rev):
     if isinstance(rev, SplitRanks):
         return jnp.int64  # values are reassembled 40-bit positions
+    if isinstance(rev, PairedU32):
+        return jnp.uint32
     return rev[0].dtype if isinstance(rev, (tuple, list)) else rev.dtype
 
 
@@ -440,13 +488,13 @@ def _lane_bounds(bounds, x, *, kbits: int, buckets: int, most_over: int,
 
 def _plquery_fast3(rev, prefix3, q3, x, xlist, ylist, *, n, length, k,
                    buckets, most_over, most_under, max_over, max_under, idt,
-                   take=take_rank, bounds=None):
+                   take=take_rank, bounds=None, ptab=None):
     """plQuery via 3-bit prefix probes: ONE 8-byte gather per probe round,
     suffix-array RANKS tracked throughout, a single rev gather at the end.
     Exact reference decision sequence; valid for length <= min(k, 21)
     (phase C, the only consumer of off_end, is statically absent)."""
     probe = make_rank_probe3(prefix3, q3, length=length, take=take)
-    pred64 = predict_pwl(x, xlist, ylist, 2 * k, buckets, n)
+    pred64 = predict_pwl(x, xlist, ylist, 2 * k, buckets, n, ptab=ptab)
     pred = pred64.astype(idt)
     neg1 = jnp.array(-1, idt)
     rank_res = jnp.full(pred.shape, -1, dtype=idt)
@@ -539,7 +587,7 @@ def _plquery_fast3(rev, prefix3, q3, x, xlist, ylist, *, n, length, k,
 )
 def plquery_batch(
     packed, rev, xlist, ylist, q_words, x, prefix=None, prefix3=None,
-    q3=None, bounds=None,
+    q3=None, bounds=None, ptab=None,
     *, n: int, length: int, k: int, buckets: int,
     most_over: int, most_under: int, max_over: int, max_under: int,
     max_stride_steps: int = 1 << 20, window_scan: bool | None = None,
@@ -556,6 +604,10 @@ def plquery_batch(
     axis (call inside shard_map; see parallel.sharded_index). Probes
     gather locally and combine with a psum — decision sequence, and hence
     results, are bit-identical to the replicated engine.
+
+    ptab: interleaved checkpoint table (ops.predict.pack_ptab) — when
+    given, the PWL prediction costs ONE sliced gather and xlist/ylist
+    may be None.
 
     adaptive_bounds: probe this bucket's own max-error window (`bounds`,
     index.pwl.bucket_bounds) before the reference's global windows.
@@ -583,10 +635,10 @@ def plquery_batch(
             rev, prefix3, q3, x, xlist, ylist, n=n, length=length, k=k,
             buckets=buckets, most_over=most_over, most_under=most_under,
             max_over=max_over, max_under=max_under, idt=idt, take=take,
-            bounds=ab)
+            bounds=ab, ptab=ptab)
     probe_rank = make_rank_probe(packed, rev, prefix, q_words,
                                  n=n, length=length, idt=idt, take=take)
-    pred64 = predict_pwl(x, xlist, ylist, 2 * k, buckets, n)
+    pred64 = predict_pwl(x, xlist, ylist, 2 * k, buckets, n, ptab=ptab)
     pred = pred64.astype(idt)
 
     neg1 = jnp.array(-1, idt)

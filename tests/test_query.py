@@ -274,7 +274,8 @@ def test_banked_rev_matches_flat():
     g = uniform_genome(30_000, seed=71)
     a = SaplingIndex.build(g, IndexConfig(k=21))
     b = SaplingIndex.build(g, IndexConfig(k=21))
-    b.device_arrays(rev_bank_bits=12)  # force 8 banks of 4096
+    # force 8 banks of 4096 + the legacy split-u32 tables (ptab off)
+    b.device_arrays(rev_bank_bits=12, use_ptab=False)
     assert isinstance(b._device["rev"], tuple) and len(b._device["rev"]) == 8
     assert isinstance(b._device["xlist"], tuple)  # split-u32 tables
     rng = np.random.default_rng(5)
@@ -287,6 +288,59 @@ def test_banked_rev_matches_flat():
             err_msg=f"length={length}")
     np.testing.assert_array_equal(
         a.query_positions_binsearch(codes), b.query_positions_binsearch(codes))
+
+
+def test_paired_rev_matches_flat():
+    """PairedU32 rev layout (uint64 pair view + half select — the one-
+    gather-op replacement for the banked layout at GRCh38 scale) must
+    give identical results through both query kernels and all paths."""
+    import numpy as np
+
+    from sapling_tpu.config import IndexConfig
+    from sapling_tpu.index.sapling import SaplingIndex
+    from sapling_tpu.ops.query import PairedU32
+    from sapling_tpu.sim.genomes import uniform_genome
+
+    g = uniform_genome(30_001, seed=72)  # odd n: exercises the pad word
+    a = SaplingIndex.build(g, IndexConfig(k=21))
+    b = SaplingIndex.build(g, IndexConfig(k=21))
+    b.device_arrays(rev_pair=True)
+    assert isinstance(b._device["rev"], PairedU32)
+    rng = np.random.default_rng(6)
+    for length in (16, 21, 31):
+        starts = rng.integers(0, a.n - length, 2000)
+        codes = a.codes[starts[:, None] + np.arange(length)]
+        codes[:40] = rng.integers(0, 4, (40, length))
+        np.testing.assert_array_equal(
+            a.query_positions(codes), b.query_positions(codes),
+            err_msg=f"length={length}")
+    np.testing.assert_array_equal(
+        a.query_positions_binsearch(codes), b.query_positions_binsearch(codes))
+
+
+def test_ptab_matches_default():
+    """use_ptab=True (interleaved checkpoint table, ops.predict.pack_ptab
+    — flag-off search-space variant, measured slower on v5e) must give
+    bit-identical query results to the default xy64+xhi16 repack path."""
+    import numpy as np
+
+    from sapling_tpu.config import IndexConfig
+    from sapling_tpu.index.sapling import SaplingIndex
+    from sapling_tpu.sim.genomes import uniform_genome
+
+    g = uniform_genome(30_000, seed=73)
+    a = SaplingIndex.build(g, IndexConfig(k=21))
+    b = SaplingIndex.build(g, IndexConfig(k=21))
+    b.device_arrays(use_ptab=True)
+    assert b._device["ptab"] is not None and b._device["xlist"] is None
+    rng = np.random.default_rng(7)
+    for length in (16, 21, 31):
+        starts = rng.integers(0, a.n - length, 2000)
+        codes = a.codes[starts[:, None] + np.arange(length)]
+        codes[:40] = rng.integers(0, 4, (40, length))
+        np.testing.assert_array_equal(
+            a.query_positions(codes), b.query_positions(codes),
+            err_msg=f"length={length}")
 
 
 def test_u64_packed_probe_equals_u32():

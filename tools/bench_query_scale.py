@@ -57,20 +57,22 @@ def main(argv):
     q3 = jax.device_put(packops.pack_queries3(codes2d)) if use3 else None
     darr = idx.device_arrays()
     arrs = [darr["packed"], darr["rev"], darr["xlist"], darr["ylist"],
-            darr.get("prefix"), darr.get("prefix3"), darr.get("bounds")]
+            darr.get("prefix"), darr.get("prefix3"), darr.get("bounds"),
+            darr.get("ptab")]
     if adaptive and darr.get("bounds") is None:
         raise SystemExit("adaptive=1 needs a v3 index with bounds "
                          "(rebuild or tools/add_bucket_bounds.py)")
-    rv = darr["rev"]
-    rdt = rv[0].dtype if isinstance(rv, tuple) else rv.dtype
+    from sapling_tpu.ops.query import _rev_dtype
+
+    rdt = _rev_dtype(darr["rev"])
     state_dt = jnp.int64 if np.dtype(rdt) == np.uint32 else rdt
 
     @jax.jit
-    def run_k(qw, xx0, q3a, packed, rev, xl, yl, pfx, pfx3, bnd):
+    def run_k(qw, xx0, q3a, packed, rev, xl, yl, pfx, pfx3, bnd, ptab):
         def body(_, carry):
             xx, _p = carry
             out = plquery_batch(
-                packed, rev, xl, yl, qw, xx, pfx, pfx3, q3a, bnd,
+                packed, rev, xl, yl, qw, xx, pfx, pfx3, q3a, bnd, ptab,
                 n=idx.n, length=qlen, k=idx.k, buckets=idx.buckets,
                 most_over=t.most_over, most_under=t.most_under,
                 max_over=t.max_over, max_under=t.max_under,

@@ -46,7 +46,7 @@ def measure(idx, qlen: int, nq: int, baseline: bool = False):
     def pl(qw, xx):
         return plquery_batch(
             dev["packed"], dev["rev"], dev["xlist"], dev["ylist"], qw, xx,
-            dev.get("prefix"),
+            dev.get("prefix"), ptab=dev.get("ptab"),
             n=idx.n, length=qlen, k=idx.k, buckets=idx.buckets,
             most_over=t.most_over, most_under=t.most_under,
             max_over=t.max_over, max_under=t.max_under)
