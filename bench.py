@@ -96,16 +96,19 @@ def main():
 
     iters = 10
     arrs = [darr["packed"], darr["rev"], darr["xlist"], darr["ylist"],
-            darr.get("prefix"), darr.get("prefix3"), darr.get("ptab")]
+            darr.get("prefix"), darr.get("prefix3"), darr.get("ptab"),
+            darr.get("pred2")]
+    p2bits = darr.get("pred2_bits")
 
     # index arrays are ARGUMENTS (closure capture would bake them into the
     # lowering as constants and ship GBs to the remote compiler)
     @jax.jit
-    def run_k(qw, xx0, q3a, packed, rev, xl, yl, pfx, pfx3, ptab):
+    def run_k(qw, xx0, q3a, packed, rev, xl, yl, pfx, pfx3, ptab, pred2):
         def body(_, carry):
             xx, _prev = carry
             out = plquery_batch(
                 packed, rev, xl, yl, qw, xx, pfx, pfx3, q3a, ptab=ptab,
+                pred2=pred2, pred2_bits=p2bits,
                 n=idx.n, length=K, k=idx.k, buckets=idx.buckets,
                 most_over=t.most_over, most_under=t.most_under,
                 max_over=t.max_over, max_under=t.max_under)

@@ -209,33 +209,44 @@ class SaplingIndex:
 
     def device_arrays(self, rev_bank_bits: int | None = None,
                       rev_pair: bool | None = None,
-                      use_ptab: bool | None = None):
+                      use_ptab: bool | None = None,
+                      use_pred2: bool | None = None):
         """Lazily put the hot arrays on the default device.
 
         XLA TPU gathers need int32-indexable operands, so a rev with more
-        than 2^31-1 entries (GRCh38-scale) ships as its uint64 pair view
-        (ops.query.PairedU32): one 8-byte gather + a half select reaches
-        any rank — the former tuple-of-2^30-banks layout paid one
-        full-lane gather op PER BANK. At the same scale the int64 PWL
-        table ships as pre-split (hi, lo) uint32 pairs — the X64-rewrite
-        pass would otherwise materialize duplicate 32-bit copies on
+        than 2^31-1 entries (GRCh38-scale) ships as its even/odd halves
+        (ops.query.HalvesU32): two u32 gathers + a select reach any
+        rank — one gather fewer than the former tuple-of-2^30-banks
+        layout, and none of the uint64 pair view's 2x HBM arg cost
+        (X64Split temps; PairedU32 is flag-only). At the same scale
+        int64/u64 tables ship pre-split as u32 — the X64-rewrite pass
+        materializes duplicate 32-bit copies of 64-bit args on
         device. rev_bank_bits forces the legacy banked layout, rev_pair
         forces the pair view, use_ptab=True opts into the interleaved
         checkpoint table (ops.predict.pack_ptab — measured SLOWER on
         v5e, kept as a flagged search-space variant; tests exercise all
-        layouts at small n)."""
+        layouts at small n). use_pred2=True ships the PWL table as the
+        pack_pred2 uint64 pair instead of the endpoint layouts —
+        prediction in 2 gather ops instead of 4, and FASTER in isolation
+        (375 vs 484 ms at 5M lanes), yet 0.65x end-to-end in the full
+        fast3 program (3.3M vs 5.1M q/s, both pair and pre-split quad
+        forms — a scheduling interaction, not u64-arg cost); flag-off
+        variant per docs/PERFORMANCE.md."""
         if not self._device:
             import jax.numpy as jnp
 
-            from ..ops.query import PairedU32
+            from ..ops.query import HalvesU32, PairedU32
 
             rev = self.rev
             big = rev.shape[0] > (1 << 31) - 1
             bits = rev_bank_bits
-            if rev_pair is None:
-                rev_pair = big and bits is None
             if rev_pair:
+                # flag-only: u64 args are materialized twice on device
+                # (X64Split temps) — OOMs v5e HBM at the >= 2^31-entry
+                # scale this targets (docs/PERFORMANCE.md)
                 rev = PairedU32.pack(rev)
+            elif big and bits is None:
+                rev = HalvesU32.pack(rev)  # 2 gather ops, no overhead
             elif bits is not None:
                 bank = 1 << bits
                 rev = tuple(
@@ -244,22 +255,46 @@ class SaplingIndex:
                 )
             else:
                 rev = jnp.asarray(rev)
-            from ..ops.predict import pack_ptab
+            from ..ops.predict import pack_ptab, pack_pred2
 
             xl64 = self.table.xlist
             yl64 = self.table.ylist
             ptab = None
+            pred2 = None
+            pred2_bits = None
             if use_ptab is None:
                 # measured 10x SLOWER than the xy64+xhi16 repack on v5e
                 # and kernel-faults at 5M lanes (docs/PERFORMANCE.md:
                 # slice gathers give no op-count win); flag-off variant
                 use_ptab = False
+            p2 = (pack_pred2(xl64, yl64, 2 * self.k)
+                  if use_pred2 and not use_ptab else None)
+            if use_pred2 and p2 is None:
+                raise ValueError("table does not fit the pack_pred2 "
+                                 "bit budget")
             if use_ptab:
                 assert self.n <= (1 << 32) and 2 * self.k <= 48
                 # exact interleaved checkpoint table: prediction becomes
                 # ONE sliced gather (ops.predict.pack_ptab); the split
                 # int64 tables are then not shipped at all
                 ptab = jnp.asarray(pack_ptab(xl64, yl64, self.table.bounds))
+                xlist = ylist = None
+            elif p2 is not None:
+                # 2-gather prediction; the endpoint tables need not
+                # ship. At multi-Gbp scale the bucket table is GBs and
+                # u64 args cost 2x HBM (X64Split temps) — ship the
+                # pre-split u32 quad instead (4 gathers, still half the
+                # split-int64 layout's 8).
+                if big:
+                    pred2 = tuple(
+                        jnp.asarray((a >> np.uint64(32)).astype(np.uint32)
+                                    if hi else
+                                    (a & np.uint64(0xFFFFFFFF))
+                                    .astype(np.uint32))
+                        for a in (p2[0], p2[1]) for hi in (True, False))
+                else:
+                    pred2 = (jnp.asarray(p2[0]), jnp.asarray(p2[1]))
+                pred2_bits = p2[2]
                 xlist = ylist = None
             elif big or rev_bank_bits is not None:
                 xlist = (jnp.asarray((xl64 >> 32).astype(np.uint32)),
@@ -282,6 +317,8 @@ class SaplingIndex:
                 "xlist": xlist,
                 "ylist": ylist,
                 "ptab": ptab,
+                "pred2": pred2,
+                "pred2_bits": pred2_bits,
                 "prefix": (jnp.asarray(self.prefix64)
                            if self.prefix64 is not None else None),
                 "prefix3": (jnp.asarray(self.prefix3)
@@ -312,7 +349,8 @@ class SaplingIndex:
         out = plquery_batch(
             dev["packed"], dev["rev"], dev["xlist"], dev["ylist"],
             q_words, x, dev.get("prefix"), dev.get("prefix3"), q3,
-            dev.get("bounds"), dev.get("ptab"),
+            dev.get("bounds"), dev.get("ptab"), dev.get("pred2"),
+            pred2_bits=dev.get("pred2_bits"),
             n=self.n, length=int(codes2d.shape[1]), k=self.k,
             buckets=self.buckets,
             most_over=t.most_over, most_under=t.most_under,

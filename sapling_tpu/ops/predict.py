@@ -91,6 +91,100 @@ def _endpoints_ptab(bucket, ptab):
     return xlo, xhi, ylo, yhi, sl[..., 3]
 
 
+def pack_pred2(xlist, ylist, kbits: int):
+    """Host-side TWO-gather checkpoint packing: per-bucket uint64 pair
+    (x2[j], y2[j]) holding (xlo, d=xhi-xlo, ylo, m=yhi-ylo) — the four
+    quantities prediction actually consumes — so predict_pwl costs 2
+    8-byte gather ops instead of the 4 of the xy64+xhi16 endpoint
+    repack (gather ops are the dominant query cost and their price is
+    per-lane regardless of granule, docs/PERFORMANCE.md). FLAG-OFF
+    variant: faster in isolation (375 vs 484 ms at 5M lanes) but 0.65x
+    end-to-end inside the fast3 program — in both pair and pre-split
+    quad form, so not a u64-argument cost; an unexplained scheduling
+    interaction. Kept (with bit-parity tests) as search-space record.
+
+    Layout (b = 64 - kbits, spill = max(0, nd - b) where nd = bits of
+    max d, nm = bits of max m):
+      x2[j] = (xlo << b) | low_b(d)
+      y2[j] = (ylo << (nm+spill)) | (m << spill) | (d >> b)
+    Validity is a STATIC build-time check (bits(ylo)+nm+spill <= 64) —
+    never a per-lane fallback, which measured slower than just paying
+    the extra gathers. Typical tables fit easily (bench 4.6 Mbp nb=22:
+    42+26+23+7 = 98 of 128 bits). Returns (x2, y2, (b, nm, spill)) or
+    None when the table doesn't fit (caller keeps the 4-gather path).
+    """
+    xl = np.asarray(xlist, dtype=np.int64)
+    yl = np.asarray(ylist, dtype=np.int64)
+    if xl.shape[0] < 2:
+        return None
+    d = np.diff(xl)
+    m = np.diff(yl)
+    if (d < 0).any() or (m < 0).any():
+        return None
+    bx = 64 - kbits
+    if bx <= 0 or bx > 63:
+        return None
+    nd = max(1, int(d.max()).bit_length())
+    nm = max(1, int(m.max()).bit_length())
+    ny = max(1, int(yl.max()).bit_length())
+    spill = max(0, nd - bx)
+    if ny + nm + spill > 64:
+        return None
+    du = d.astype(np.uint64)
+    x2 = ((xl[:-1].astype(np.uint64) << np.uint64(bx))
+          | (du & np.uint64((1 << bx) - 1)))
+    y2 = ((yl[:-1].astype(np.uint64) << np.uint64(nm + spill))
+          | (m.astype(np.uint64) << np.uint64(spill))
+          | (du >> np.uint64(bx)))
+    return x2, y2, (bx, nm, spill)
+
+
+def _u64_field(hi, lo, shift: int, width: int):
+    """(word >> shift) & ((1<<width)-1) of a uint64 decomposed into u32
+    halves (hi, lo), with STATIC shift/width — pure 32-bit VPU ops plus
+    one i64 assemble only when the field straddles the half boundary
+    (the TPU has no 64-bit integer lanes; emulated u64 shifts cost
+    several ops each, so fields are cut out of the halves directly)."""
+    i64 = jnp.int64
+    if width <= 0:
+        return jnp.zeros(hi.shape, i64)
+    if shift >= 32:
+        v = (hi >> (shift - 32)).astype(i64)
+    elif shift + width <= 32:
+        v = (lo >> shift).astype(i64)
+    else:
+        v = (lo.astype(i64) >> shift) | (hi.astype(i64) << (32 - shift))
+    return v & ((1 << width) - 1)
+
+
+def _parts_pred2(bucket, pred2, pred2_bits, kbits: int):
+    """(xlo, d, ylo, m) of `bucket` from the pack_pred2 table.
+
+    pred2 is either the (x2, y2) uint64 pair — TWO 8-byte gathers, the
+    small-table default — or its pre-split (x2hi, x2lo, y2hi, y2lo)
+    uint32 quad — FOUR 4-byte gathers but no X64-rewrite arg doubling
+    (u64 jit args are materialized twice on device, which matters when
+    the bucket table is GBs; docs/PERFORMANCE.md)."""
+    bx, nm, spill = pred2_bits
+
+    def take_halves(a):
+        pair = jax.lax.bitcast_convert_type(jnp.take(a, bucket), jnp.uint32)
+        return pair[..., 1], pair[..., 0]  # (hi, lo)
+
+    if len(pred2) == 4:
+        i32b = bucket.astype(jnp.int32)
+        xh, xl = jnp.take(pred2[0], i32b), jnp.take(pred2[1], i32b)
+        yh, yl = jnp.take(pred2[2], i32b), jnp.take(pred2[3], i32b)
+    else:
+        xh, xl = take_halves(pred2[0])
+        yh, yl = take_halves(pred2[1])
+    xlo = _u64_field(xh, xl, bx, kbits)
+    d = _u64_field(xh, xl, 0, bx) | (_u64_field(yh, yl, 0, spill) << bx)
+    m = _u64_field(yh, yl, spill, nm)
+    ylo = _u64_field(yh, yl, spill + nm, 64 - spill - nm)
+    return xlo, d, ylo, m
+
+
 def _endpoints_packed(bucket, xlist, ylist):
     """Checkpoint gathers via one uint64 + one uint16 per endpoint.
 
@@ -124,7 +218,7 @@ def _endpoints_packed(bucket, xlist, ylist):
 
 
 def predict_pwl(x, xlist, ylist, kbits: int, buckets: int, n: int, xp=jnp,
-                ptab=None):
+                ptab=None, pred2=None, pred2_bits=None):
     """Batched PWL prediction.
 
     x:      int64 [B] k-mer values
@@ -136,12 +230,19 @@ def predict_pwl(x, xlist, ylist, kbits: int, buckets: int, n: int, xp=jnp,
             rev[] out of bounds for x beyond the last checkpoint, which we
             refuse to reproduce).
     ptab:   optional pack_ptab table — when given, both endpoints come
-            from ONE sliced gather and xlist/ylist may be None.
+            from ONE sliced gather and xlist/ylist may be None (flag-off
+            variant; measured slower, see pack_ptab).
+    pred2:  optional (x2, y2) pack_pred2 pair with its static
+            pred2_bits — prediction in TWO 8-byte gathers (flag-off
+            variant; measured slower end-to-end, see pack_pred2).
 
     Returns int64 [B] predicted suffix-array ranks.
     """
     shift = kbits - buckets
     bucket = (x >> shift).astype(jnp.int64 if xp is jnp else np.int64)
+    if pred2 is not None:
+        xlo, d, ylo, m = _parts_pred2(bucket, pred2, pred2_bits, kbits)
+        return _predict_from_parts(x, xlo, d, ylo, m, n, xp)
     if ptab is not None:
         xlo, xhi, ylo, yhi, _bw = _endpoints_ptab(bucket, ptab)
         return _predict_from_endpoints(x, xlo, xhi, ylo, yhi, n, xp)
@@ -170,9 +271,13 @@ def predict_pwl(x, xlist, ylist, kbits: int, buckets: int, n: int, xp=jnp,
 
 
 def _predict_from_endpoints(x, xlo, xhi, ylo, yhi, n, xp):
-    m = yhi - ylo          # >= 0 (ylist nondecreasing), < n
+    return _predict_from_parts(x, xlo, xhi - xlo, ylo, yhi - ylo, n, xp)
+
+
+def _predict_from_parts(x, xlo, d, ylo, m, n, xp):
+    # m = yhi - ylo >= 0 (ylist nondecreasing), < n
+    # d = xhi - xlo > 0 unless degenerate bucket
     nn = x - xlo           # may be negative for out-of-genome kmers
-    d = xhi - xlo          # > 0 unless degenerate bucket
 
     a = xp.abs(nn)
     nh = a >> 16

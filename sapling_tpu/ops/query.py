@@ -65,11 +65,13 @@ def take_slice(arr, idx, m: int):
 
 class PairedU32(NamedTuple):
     """A uint32 array with >= 2^31 elements, stored as its uint64 pair
-    view so one gather op reaches any element: XLA TPU gathers need
-    int32-indexable operands, and the former workaround — a tuple of
-    2^30-element banks — paid one full-lane gather op PER BANK (3-4 ops
-    for a GRCh38-scale rev). w64[j] = arr[2j] | arr[2j+1] << 32; the
-    half is selected per lane after one 8-byte gather."""
+    view so one gather op reaches any element (XLA TPU gathers need
+    int32-indexable operands). FLAG-ONLY on v5e: uint64 jit ARGUMENTS
+    are materialized TWICE on device — the X64SplitHigh/Low custom
+    calls keep both u32 halves as whole-program temps next to the u64
+    arg buffer — so a >= 2^31-entry rev (>= 8 GiB) always blows the
+    16 GiB HBM (measured OOM: 26.1 G for a 3.1 Gbp index,
+    docs/PERFORMANCE.md). HalvesU32 is the default at this scale."""
 
     w64: jnp.ndarray  # uint64 [ceil(len/2)]
 
@@ -81,6 +83,27 @@ class PairedU32(NamedTuple):
         if a.shape[0] % 2:
             a = _np.concatenate([a, _np.zeros(1, _np.uint32)])
         return PairedU32(w64=jnp.asarray(a.view(_np.uint64)))
+
+
+class HalvesU32(NamedTuple):
+    """A uint32 array with >= 2^31 elements, stored as its even/odd
+    element halves (each < 2^31, int32-indexable): element i is
+    (odd if i&1 else even)[i >> 1]. Two u32 gather ops reach any
+    element — one fewer than the 2^30-bank layout's three at GRCh38
+    scale — with ZERO memory overhead, unlike the uint64 pair view
+    whose arg doubles in HBM under the X64 rewrite (PairedU32)."""
+
+    even: jnp.ndarray  # uint32 [ceil(len/2)] = arr[0::2]
+    odd: jnp.ndarray   # uint32 [ceil(len/2)] = arr[1::2]
+
+    @staticmethod
+    def pack(arr) -> "HalvesU32":
+        import numpy as _np
+
+        a = _np.ascontiguousarray(arr, dtype=_np.uint32)
+        if a.shape[0] % 2:
+            a = _np.concatenate([a, _np.zeros(1, _np.uint32)])
+        return HalvesU32(even=jnp.asarray(a[0::2]), odd=jnp.asarray(a[1::2]))
 
 
 def _clz32(x: jnp.ndarray) -> jnp.ndarray:
@@ -201,6 +224,10 @@ def take_rank(rev, idx):
         pair = jax.lax.bitcast_convert_type(
             jnp.take(rev.w64, (idx >> 1).astype(jnp.int32)), jnp.uint32)
         return jnp.where((idx & 1) == 0, pair[..., 0], pair[..., 1])
+    if isinstance(rev, HalvesU32):
+        j = (idx >> 1).astype(jnp.int32)
+        return jnp.where((idx & 1) == 0, jnp.take(rev.even, j),
+                         jnp.take(rev.odd, j))
     if not isinstance(rev, (tuple, list)):
         return jnp.take(rev, idx)
     bank_bits = int(rev[0].shape[0]).bit_length() - 1
@@ -371,7 +398,7 @@ def _state_dtype(storage_dtype):
 def _rev_dtype(rev):
     if isinstance(rev, SplitRanks):
         return jnp.int64  # values are reassembled 40-bit positions
-    if isinstance(rev, PairedU32):
+    if isinstance(rev, (PairedU32, HalvesU32)):
         return jnp.uint32
     return rev[0].dtype if isinstance(rev, (tuple, list)) else rev.dtype
 
@@ -488,13 +515,15 @@ def _lane_bounds(bounds, x, *, kbits: int, buckets: int, most_over: int,
 
 def _plquery_fast3(rev, prefix3, q3, x, xlist, ylist, *, n, length, k,
                    buckets, most_over, most_under, max_over, max_under, idt,
-                   take=take_rank, bounds=None, ptab=None):
+                   take=take_rank, bounds=None, ptab=None, pred2=None,
+                   pred2_bits=None):
     """plQuery via 3-bit prefix probes: ONE 8-byte gather per probe round,
     suffix-array RANKS tracked throughout, a single rev gather at the end.
     Exact reference decision sequence; valid for length <= min(k, 21)
     (phase C, the only consumer of off_end, is statically absent)."""
     probe = make_rank_probe3(prefix3, q3, length=length, take=take)
-    pred64 = predict_pwl(x, xlist, ylist, 2 * k, buckets, n, ptab=ptab)
+    pred64 = predict_pwl(x, xlist, ylist, 2 * k, buckets, n, ptab=ptab,
+                         pred2=pred2, pred2_bits=pred2_bits)
     pred = pred64.astype(idt)
     neg1 = jnp.array(-1, idt)
     rank_res = jnp.full(pred.shape, -1, dtype=idt)
@@ -582,15 +611,16 @@ def _plquery_fast3(rev, prefix3, q3, x, xlist, ylist, *, n, length, k,
     static_argnames=(
         "n", "length", "k", "buckets", "most_over", "most_under",
         "max_over", "max_under", "max_stride_steps", "window_scan",
-        "multiprobe", "shard_spec", "adaptive_bounds",
+        "multiprobe", "shard_spec", "adaptive_bounds", "pred2_bits",
     ),
 )
 def plquery_batch(
     packed, rev, xlist, ylist, q_words, x, prefix=None, prefix3=None,
-    q3=None, bounds=None, ptab=None,
+    q3=None, bounds=None, ptab=None, pred2=None,
     *, n: int, length: int, k: int, buckets: int,
     most_over: int, most_under: int, max_over: int, max_under: int,
     max_stride_steps: int = 1 << 20, window_scan: bool | None = None,
+    pred2_bits: tuple[int, int, int] | None = None,
     multiprobe: bool = False,
     shard_spec: tuple[str, int] | None = None,
     adaptive_bounds: bool = False,
@@ -605,9 +635,10 @@ def plquery_batch(
     gather locally and combine with a psum — decision sequence, and hence
     results, are bit-identical to the replicated engine.
 
-    ptab: interleaved checkpoint table (ops.predict.pack_ptab) — when
-    given, the PWL prediction costs ONE sliced gather and xlist/ylist
-    may be None.
+    pred2 (+ static pred2_bits): pack_pred2 uint64 pair — 2-gather
+    prediction (ops.predict.pack_pred2); xlist/ylist may then be None.
+    Flag-off variant, as is ptab (interleaved checkpoint table,
+    ops.predict.pack_ptab) — both measured slower end-to-end.
 
     adaptive_bounds: probe this bucket's own max-error window (`bounds`,
     index.pwl.bucket_bounds) before the reference's global windows.
@@ -635,10 +666,11 @@ def plquery_batch(
             rev, prefix3, q3, x, xlist, ylist, n=n, length=length, k=k,
             buckets=buckets, most_over=most_over, most_under=most_under,
             max_over=max_over, max_under=max_under, idt=idt, take=take,
-            bounds=ab, ptab=ptab)
+            bounds=ab, ptab=ptab, pred2=pred2, pred2_bits=pred2_bits)
     probe_rank = make_rank_probe(packed, rev, prefix, q_words,
                                  n=n, length=length, idt=idt, take=take)
-    pred64 = predict_pwl(x, xlist, ylist, 2 * k, buckets, n, ptab=ptab)
+    pred64 = predict_pwl(x, xlist, ylist, 2 * k, buckets, n, ptab=ptab,
+                         pred2=pred2, pred2_bits=pred2_bits)
     pred = pred64.astype(idt)
 
     neg1 = jnp.array(-1, idt)

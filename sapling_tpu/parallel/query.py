@@ -31,7 +31,7 @@ class ShardedQueryEngine:
     query_positions call shards its batch over "dp".
     """
 
-    def __init__(self, index, mesh: Mesh):
+    def __init__(self, index, mesh: Mesh, use_pred2: bool = False):
         self.index = index
         self.mesh = mesh
         rep = replicated(mesh)
@@ -46,8 +46,24 @@ class ShardedQueryEngine:
               if index.prefix64 is None else index.packed)
         self.packed = jax.device_put(pk, rep)
         self.rev = jax.device_put(index.rev, rep)
-        self.xlist = jax.device_put(t.xlist, rep)
-        self.ylist = jax.device_put(t.ylist, rep)
+        if use_pred2:
+            # flag-off variant: 2-gather prediction measured 0.65x
+            # end-to-end despite fewer ops (docs/PERFORMANCE.md)
+            from ..ops.predict import pack_pred2
+
+            p2 = pack_pred2(t.xlist, t.ylist, 2 * index.k)
+            if p2 is None:
+                raise ValueError("table does not fit the pack_pred2 "
+                                 "bit budget")
+            self.xlist = self.ylist = None
+            self.pred2 = (jax.device_put(p2[0], rep),
+                          jax.device_put(p2[1], rep))
+            self.pred2_bits = p2[2]
+        else:
+            self.xlist = jax.device_put(t.xlist, rep)
+            self.ylist = jax.device_put(t.ylist, rep)
+            self.pred2 = None
+            self.pred2_bits = None
 
     def query_positions(self, codes2d: np.ndarray, max_stride_steps: int = 1 << 20):
         """[B, L] base codes -> [B] genome positions, dp-sharded."""
@@ -75,7 +91,8 @@ class ShardedQueryEngine:
         t = idx.table
         out = plquery_batch(
             self.packed, self.rev, self.xlist, self.ylist, qs, xs,
-            self.prefix, self.prefix3, q3s,
+            self.prefix, self.prefix3, q3s, pred2=self.pred2,
+            pred2_bits=self.pred2_bits,
             n=idx.n, length=length, k=idx.k,
             buckets=idx.buckets,
             most_over=t.most_over, most_under=t.most_under,

@@ -274,8 +274,8 @@ def test_banked_rev_matches_flat():
     g = uniform_genome(30_000, seed=71)
     a = SaplingIndex.build(g, IndexConfig(k=21))
     b = SaplingIndex.build(g, IndexConfig(k=21))
-    # force 8 banks of 4096 + the legacy split-u32 tables (ptab off)
-    b.device_arrays(rev_bank_bits=12, use_ptab=False)
+    # force 8 banks of 4096 + the legacy split-u32 tables
+    b.device_arrays(rev_bank_bits=12, use_ptab=False, use_pred2=False)
     assert isinstance(b._device["rev"], tuple) and len(b._device["rev"]) == 8
     assert isinstance(b._device["xlist"], tuple)  # split-u32 tables
     rng = np.random.default_rng(5)
@@ -341,6 +341,123 @@ def test_ptab_matches_default():
         np.testing.assert_array_equal(
             a.query_positions(codes), b.query_positions(codes),
             err_msg=f"length={length}")
+
+
+def test_halves_rev_matches_flat():
+    """HalvesU32 rev layout (even/odd u32 halves — the default at
+    GRCh38 scale: 2 gather ops, no X64Split arg doubling) must give
+    identical results through both query kernels and all paths."""
+    import numpy as np
+
+    from sapling_tpu.config import IndexConfig
+    from sapling_tpu.index.sapling import SaplingIndex
+    from sapling_tpu.ops.query import HalvesU32
+    from sapling_tpu.sim.genomes import uniform_genome
+
+    g = uniform_genome(30_001, seed=76)  # odd n: exercises the pad word
+    a = SaplingIndex.build(g, IndexConfig(k=21))
+    b = SaplingIndex.build(g, IndexConfig(k=21))
+    b._device = dict(b.device_arrays())
+    b._device["rev"] = HalvesU32.pack(b.rev)
+    rng = np.random.default_rng(10)
+    for length in (16, 21, 31):
+        starts = rng.integers(0, a.n - length, 2000)
+        codes = a.codes[starts[:, None] + np.arange(length)]
+        codes[:40] = rng.integers(0, 4, (40, length))
+        np.testing.assert_array_equal(
+            a.query_positions(codes), b.query_positions(codes),
+            err_msg=f"length={length}")
+    np.testing.assert_array_equal(
+        a.query_positions_binsearch(codes), b.query_positions_binsearch(codes))
+
+
+def test_pred2_split_quad_matches_pair():
+    """The pre-split u32 quad shipping of pack_pred2 (used at multi-Gbp
+    scale to dodge the 2x HBM cost of u64 args) must predict bit-
+    identically to the u64 pair form."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sapling_tpu.config import IndexConfig
+    from sapling_tpu.index.sapling import SaplingIndex
+    from sapling_tpu.ops.predict import pack_pred2, predict_pwl
+    from sapling_tpu.sim.genomes import uniform_genome
+
+    g = uniform_genome(25_000, seed=77)
+    idx = SaplingIndex.build(g, IndexConfig(k=21))
+    t = idx.table
+    p2 = pack_pred2(t.xlist, t.ylist, 2 * idx.k)
+    quad = tuple(
+        jnp.asarray(((a >> np.uint64(32)) if hi else
+                     (a & np.uint64(0xFFFFFFFF))).astype(np.uint32))
+        for a in (p2[0], p2[1]) for hi in (True, False))
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.integers(0, 1 << 42, 4000, dtype=np.int64))
+    pair = predict_pwl(x, None, None, 2 * idx.k, idx.buckets, idx.n,
+                       pred2=(jnp.asarray(p2[0]), jnp.asarray(p2[1])),
+                       pred2_bits=p2[2])
+    qd = predict_pwl(x, None, None, 2 * idx.k, idx.buckets, idx.n,
+                     pred2=quad, pred2_bits=p2[2])
+    np.testing.assert_array_equal(np.asarray(pair), np.asarray(qd))
+
+
+def test_pred2_matches_legacy():
+    """pack_pred2 (2-gather uint64 checkpoint pair — the default fast
+    prediction) must give bit-identical query results to the legacy
+    endpoint layout, across query lengths and all phases."""
+    import numpy as np
+
+    from sapling_tpu.config import IndexConfig
+    from sapling_tpu.index.sapling import SaplingIndex
+    from sapling_tpu.sim.genomes import uniform_genome
+
+    g = uniform_genome(30_000, seed=74)
+    a = SaplingIndex.build(g, IndexConfig(k=21))
+    b = SaplingIndex.build(g, IndexConfig(k=21))
+    a.device_arrays(use_pred2=False)
+    b.device_arrays(use_pred2=True)
+    assert a._device["pred2"] is None and b._device["pred2"] is not None
+    assert b._device["xlist"] is None
+    rng = np.random.default_rng(8)
+    for length in (16, 21, 31):
+        starts = rng.integers(0, a.n - length, 2000)
+        codes = a.codes[starts[:, None] + np.arange(length)]
+        codes[:40] = rng.integers(0, 4, (40, length))
+        np.testing.assert_array_equal(
+            a.query_positions(codes), b.query_positions(codes),
+            err_msg=f"length={length}")
+
+
+def test_pred2_spill_path():
+    """When bucket widths exceed 64-2k bits (few buckets, wide genome
+    value range) the d field spills into y2 — predictions must remain
+    exactly equal to the int64 reference math for every k-mer, including
+    out-of-genome values."""
+    import numpy as np
+
+    from sapling_tpu.config import IndexConfig
+    from sapling_tpu.index.sapling import SaplingIndex
+    from sapling_tpu.ops.predict import pack_pred2, predict_pwl
+
+    from sapling_tpu.sim.genomes import uniform_genome
+
+    g = uniform_genome(20_000, seed=75)
+    idx = SaplingIndex.build(g, IndexConfig(k=21, buckets=6))
+    t = idx.table
+    p2 = pack_pred2(t.xlist, t.ylist, 2 * idx.k)
+    assert p2 is not None and p2[2][2] > 0, "expected spill > 0"
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    x = rng.integers(0, 1 << 42, 5000, dtype=np.int64)
+    x = np.concatenate([x, idx.kmerize_batch(
+        idx.codes[np.arange(100)[:, None] + np.arange(idx.k)])])
+    ref = predict_pwl(jnp.asarray(x), jnp.asarray(t.xlist),
+                      jnp.asarray(t.ylist), 2 * idx.k, idx.buckets, idx.n)
+    got = predict_pwl(jnp.asarray(x), None, None, 2 * idx.k, idx.buckets,
+                      idx.n, pred2=(jnp.asarray(p2[0]), jnp.asarray(p2[1])),
+                      pred2_bits=p2[2])
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
 
 
 def test_u64_packed_probe_equals_u32():

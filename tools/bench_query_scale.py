@@ -58,7 +58,8 @@ def main(argv):
     darr = idx.device_arrays()
     arrs = [darr["packed"], darr["rev"], darr["xlist"], darr["ylist"],
             darr.get("prefix"), darr.get("prefix3"), darr.get("bounds"),
-            darr.get("ptab")]
+            darr.get("ptab"), darr.get("pred2")]
+    p2bits = darr.get("pred2_bits")
     if adaptive and darr.get("bounds") is None:
         raise SystemExit("adaptive=1 needs a v3 index with bounds "
                          "(rebuild or tools/add_bucket_bounds.py)")
@@ -68,11 +69,13 @@ def main(argv):
     state_dt = jnp.int64 if np.dtype(rdt) == np.uint32 else rdt
 
     @jax.jit
-    def run_k(qw, xx0, q3a, packed, rev, xl, yl, pfx, pfx3, bnd, ptab):
+    def run_k(qw, xx0, q3a, packed, rev, xl, yl, pfx, pfx3, bnd, ptab,
+              pred2):
         def body(_, carry):
             xx, _p = carry
             out = plquery_batch(
                 packed, rev, xl, yl, qw, xx, pfx, pfx3, q3a, bnd, ptab,
+                pred2, pred2_bits=p2bits,
                 n=idx.n, length=qlen, k=idx.k, buckets=idx.buckets,
                 most_over=t.most_over, most_under=t.most_under,
                 max_over=t.max_over, max_under=t.max_under,

@@ -47,6 +47,7 @@ def run_experiment(idx, qlen: int, nq: int, batch: int, rng, baseline=False):
         return plquery_batch(
             dev["packed"], dev["rev"], dev["xlist"], dev["ylist"], qw, xx,
             dev.get("prefix"), ptab=dev.get("ptab"),
+            pred2=dev.get("pred2"), pred2_bits=dev.get("pred2_bits"),
             n=idx.n, length=qlen, k=idx.k, buckets=idx.buckets,
             most_over=t.most_over, most_under=t.most_under,
             max_over=t.max_over, max_under=t.max_under)
