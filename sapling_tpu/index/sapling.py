@@ -297,10 +297,24 @@ class SaplingIndex:
                 pred2_bits = p2[2]
                 xlist = ylist = None
             elif big or rev_bank_bits is not None:
-                xlist = (jnp.asarray((xl64 >> 32).astype(np.uint32)),
+                # Slim split storage: x has 2k bits (hi fits u16 for
+                # k <= 24) and y <= n fits u32 alone when n < 2^32 — so
+                # a checkpoint ships as 10 bytes, not the 16 of full
+                # (u32 hi, u32 lo) pairs. At GRCh38 scale that is
+                # ~0.4 GB of HBM args saved on top of the on-device
+                # xy64+xhi16 repack temps (ops.predict
+                # ._endpoints_packed), which HBM accounting must count
+                # too.
+                xhi_dt = np.uint16 if 2 * self.k <= 48 else np.uint32
+                xlist = (jnp.asarray((xl64 >> 32).astype(xhi_dt)),
                          jnp.asarray((xl64 & 0xFFFFFFFF).astype(np.uint32)))
-                ylist = (jnp.asarray((yl64 >> 32).astype(np.uint32)),
-                         jnp.asarray((yl64 & 0xFFFFFFFF).astype(np.uint32)))
+                if self.n <= (1 << 32):
+                    ylist = jnp.asarray(
+                        (yl64 & 0xFFFFFFFF).astype(np.uint32))
+                else:
+                    ylist = (jnp.asarray((yl64 >> 32).astype(np.uint32)),
+                             jnp.asarray((yl64 & 0xFFFFFFFF)
+                                         .astype(np.uint32)))
             else:
                 xlist = jnp.asarray(xl64)
                 ylist = jnp.asarray(yl64)
@@ -308,9 +322,13 @@ class SaplingIndex:
             # per-probe select work; it wins only in the granule-bound
             # multi-Gbp regime — which is exactly when the per-rank
             # prefix arrays are absent (measured: 0.89x at 4.6 Mbp,
-            # docs/PERFORMANCE.md)
+            # docs/PERFORMANCE.md). NOT at `big` (>= 2^31-rank) scale:
+            # there the rev halves alone are ~12.4 GB and the u64
+            # packed ARG's X64Split temps (2x the packed bytes) tipped
+            # the 3.1 Gbp bench into a TPU worker-crash OOM — u32 words
+            # cost one extra probe gather op per round instead.
             pk = (packops.words_to_u64(self.packed)
-                  if self.prefix64 is None else self.packed)
+                  if self.prefix64 is None and not big else self.packed)
             self._device = {
                 "packed": jnp.asarray(pk),
                 "rev": rev,

@@ -248,10 +248,13 @@ def predict_pwl(x, xlist, ylist, kbits: int, buckets: int, n: int, xp=jnp,
         return _predict_from_endpoints(x, xlo, xhi, ylo, yhi, n, xp)
 
     def tk(arr, i):
+        if xp is jnp:
+            i = i.astype(jnp.int32)  # tables are < 2^31 entries
         if isinstance(arr, tuple):
-            # split-u32 storage (hi, lo): avoids the X64-rewrite pass
+            # split storage (hi, lo): avoids the X64-rewrite pass
             # materializing duplicate 32-bit copies of s64 arguments on
-            # device (docs/PERFORMANCE.md)
+            # device (docs/PERFORMANCE.md); hi may be u16 (x fits 48
+            # bits) or u32
             hi = xp.take(arr[0], i).astype(jnp.int64 if xp is jnp else np.int64)
             lo = xp.take(arr[1], i).astype(jnp.int64 if xp is jnp else np.int64)
             return (hi << 32) | lo
@@ -260,7 +263,13 @@ def predict_pwl(x, xlist, ylist, kbits: int, buckets: int, n: int, xp=jnp,
             v = v.astype(jnp.int64 if xp is jnp else np.int64)
         return v
 
-    if xp is jnp and n <= (1 << 32) and kbits <= 48:
+    if xp is jnp and n <= (1 << 31) and kbits <= 48:
+        # Below 2^31 bases the xy64+xhi16 repack temps (10 B/checkpoint
+        # on device) are affordable and save 2-4 gather ops. Above —
+        # GRCh38-scale, where rev alone is ~12.4 GB of HBM — prediction
+        # gathers straight from the slim split arguments instead
+        # ((u16 hi, u32 lo) xlist + u32 ylist, index.sapling
+        # .device_arrays): 6 gather ops, zero repack temps.
         xlo, xhi, ylo, yhi = _endpoints_packed(bucket, xlist, ylist)
     else:
         xlo = tk(xlist, bucket)
