@@ -43,6 +43,12 @@ class QueryConfig:
     # a duplicate run comes back may differ from the reference — off by
     # default to preserve byte parity.
     adaptive_bounds: bool = False
+    # Bisect the escalated tail (lanes beyond the most window) in a
+    # compacted static-capacity batch so the full-width while_loop only
+    # runs the shallow most-window depth (ops.query compact_escalate).
+    # Bit-identical results — same per-lane decision sequence.
+    compact_escalate: bool = False
+    compact_cap: int | None = None  # None = batch/8 (ops.query._compact_cap)
 
 
 @dataclass

@@ -375,6 +375,8 @@ class SaplingIndex:
             max_over=t.max_over, max_under=t.max_under,
             max_stride_steps=qcfg.max_stride_steps,
             adaptive_bounds=qcfg.adaptive_bounds,
+            compact_escalate=qcfg.compact_escalate,
+            compact_cap=qcfg.compact_cap,
         )
         return np.asarray(out)
 

@@ -498,6 +498,47 @@ def _masked_binary_search(probe_fn, lo, hi, res, resolved):
     return res, resolved
 
 
+def _compact_cap(b: int, cap: int | None) -> int:
+    """Static capacity for the compacted deep-lane batch: the 'most'
+    bounds are ~95th-percentile errors (reference errorStats,
+    src/sapling_api.h:342-379), so ~5% of lanes escalate; 1/8 of the
+    batch is a 2.5x safety margin. Overflow is CORRECT (leftover lanes
+    run in the final full-width loop), just slower."""
+    if cap is None:
+        cap = max(1024, b >> 3)
+    return min(cap, b)
+
+
+def _compact_deep(resolved, lo, hi, width: int, cap: int):
+    """Indices of (up to cap) unresolved lanes whose remaining bisection
+    window is wider than `width` — the escalated tail. Returns
+    (idx32 [cap] clamped in-range, valid [cap], deep [B]).
+
+    Rationale: a whole-batch while_loop round costs full-batch gather
+    throughput regardless of lane masking (docs/PERFORMANCE.md), and its
+    trip count is the MAX bisection depth over lanes — so a ~5% tail
+    with a (max_over+max_under)-wide window multiplies the other 95%'s
+    cost by ~log(max/most). Compacting the tail into a [cap] batch makes
+    those extra trips cost cap-lane throughput instead."""
+    b = resolved.shape[0]
+    deep = ~resolved & ((hi - lo) > width)
+    idxs = jnp.nonzero(deep, size=cap, fill_value=b)[0]
+    valid = idxs < b
+    return jnp.minimum(idxs, b - 1).astype(jnp.int32), valid, deep
+
+
+def _scatter_back(res, resolved, idx32, valid, res_c):
+    """Write compacted-lane results into the full-width state. Invalid
+    (fill) rows scatter out of bounds and are dropped; every valid
+    compacted lane is fully decided by its bisection (hit or -1), so its
+    full-width slot becomes resolved."""
+    b = res.shape[0]
+    sc = jnp.where(valid, idx32, jnp.int32(b))
+    res = res.at[sc].set(res_c, mode="drop")
+    resolved = resolved.at[sc].set(True, mode="drop")
+    return res, resolved
+
+
 def _lane_bounds(bounds, x, *, kbits: int, buckets: int, most_over: int,
                  most_under: int):
     """Per-lane (over, under) window bounds from the packed per-bucket max
@@ -513,10 +554,40 @@ def _lane_bounds(bounds, x, *, kbits: int, buckets: int, most_over: int,
     return jnp.minimum(bo, most_over), jnp.minimum(bu, most_under)
 
 
+def _masked_rank_bisect(probe_fn, lo, hi, rank_res, resolved):
+    """The reference binarySearch (src/sapling_api.h:133-153) over RANK
+    state with a Probe-only probe (fast3 phase D: no positions in the
+    loop; one rev gather happens at the very end)."""
+
+    def cond(st):
+        return ~st[3].all()
+
+    def body(st):
+        lo, hi, rank_res, resolved = st
+        active = ~resolved
+        base2 = hi == lo + 2
+        mid = jnp.where(base2, lo + 1, lo + ((hi - lo) >> 1))
+        p = probe_fn(jnp.where(active, mid, 0))
+        now_base = active & base2
+        now_match = active & ~base2 & p.match
+        now_fail = active & ~base2 & ~p.match & (lo + 1 >= hi)
+        rank_res = jnp.where(now_base | now_match, mid, rank_res)
+        resolved = resolved | now_base | now_match | now_fail
+        go = active & ~(now_base | now_match | now_fail)
+        lo = jnp.where(go & p.smaller, mid, lo)
+        hi = jnp.where(go & ~p.smaller, mid, hi)
+        return lo, hi, rank_res, resolved
+
+    _, _, rank_res, resolved = jax.lax.while_loop(
+        cond, body, (lo, hi, rank_res, resolved))
+    return rank_res, resolved
+
+
 def _plquery_fast3(rev, prefix3, q3, x, xlist, ylist, *, n, length, k,
                    buckets, most_over, most_under, max_over, max_under, idt,
                    take=take_rank, bounds=None, ptab=None, pred2=None,
-                   pred2_bits=None):
+                   pred2_bits=None, compact_escalate=False,
+                   compact_cap=None):
     """plQuery via 3-bit prefix probes: ONE 8-byte gather per probe round,
     suffix-array RANKS tracked throughout, a single rev gather at the end.
     Exact reference decision sequence; valid for length <= min(k, 21)
@@ -580,27 +651,22 @@ def _plquery_fast3(rev, prefix3, q3, x, xlist, ylist, *, n, length, k,
     lo = jnp.where(escalate, jnp.where(dir_right, e_right, b_left), lo)
     hi = jnp.where(escalate, jnp.where(dir_right, b_right, e_left), hi)
 
-    def cond(st):
-        return ~st[3].all()
+    if compact_escalate:
+        # bisect the escalated tail in a compacted [cap] batch first —
+        # the full-width loop below then only runs the shallow
+        # most-window depth (see _compact_deep)
+        cap = _compact_cap(rank_res.shape[0], compact_cap)
+        idx32, valid, _ = _compact_deep(resolved, lo, hi,
+                                        most_over + most_under + 2, cap)
+        probe_c = make_rank_probe3(prefix3, jnp.take(q3, idx32, axis=0),
+                                   length=length, take=take)
+        res_c, _ = _masked_rank_bisect(
+            probe_c, jnp.take(lo, idx32), jnp.take(hi, idx32),
+            jnp.take(rank_res, idx32), ~valid)
+        rank_res, resolved = _scatter_back(rank_res, resolved, idx32,
+                                           valid, res_c)
 
-    def body(st):
-        lo, hi, rank_res, resolved = st
-        active = ~resolved
-        base2 = hi == lo + 2
-        mid = jnp.where(base2, lo + 1, lo + ((hi - lo) >> 1))
-        p = probe(jnp.where(active, mid, 0))
-        now_base = active & base2
-        now_match = active & ~base2 & p.match
-        now_fail = active & ~base2 & ~p.match & (lo + 1 >= hi)
-        rank_res = jnp.where(now_base | now_match, mid, rank_res)
-        resolved = resolved | now_base | now_match | now_fail
-        go = active & ~(now_base | now_match | now_fail)
-        lo = jnp.where(go & p.smaller, mid, lo)
-        hi = jnp.where(go & ~p.smaller, mid, hi)
-        return lo, hi, rank_res, resolved
-
-    _, _, rank_res, _ = jax.lax.while_loop(
-        cond, body, (lo, hi, rank_res, resolved))
+    rank_res, _ = _masked_rank_bisect(probe, lo, hi, rank_res, resolved)
     found = rank_res >= 0
     pos = take(rev, jnp.where(found, rank_res, 0)).astype(idt)
     return jnp.where(found, pos, neg1)
@@ -612,6 +678,7 @@ def _plquery_fast3(rev, prefix3, q3, x, xlist, ylist, *, n, length, k,
         "n", "length", "k", "buckets", "most_over", "most_under",
         "max_over", "max_under", "max_stride_steps", "window_scan",
         "multiprobe", "shard_spec", "adaptive_bounds", "pred2_bits",
+        "compact_escalate", "compact_cap",
     ),
 )
 def plquery_batch(
@@ -624,6 +691,8 @@ def plquery_batch(
     multiprobe: bool = False,
     shard_spec: tuple[str, int] | None = None,
     adaptive_bounds: bool = False,
+    compact_escalate: bool = False,
+    compact_cap: int | None = None,
 ):
     """Batched Sapling::plQuery (reference: src/sapling_api.h:159-248).
 
@@ -647,6 +716,14 @@ def plquery_batch(
     returned may differ — off by default to preserve the byte-parity
     contract; found/-1 status is unchanged (a nested escalation ladder
     ends at the reference's own max window).
+
+    compact_escalate: before phase D, compact the escalated tail (lanes
+    whose window is wider than the most window) into a static
+    [compact_cap] batch via nonzero(size=cap) and bisect it there. The
+    per-lane decision sequence — and thus every returned position — is
+    bit-identical; only the batch a deep lane's probes execute in
+    changes. Overflow beyond cap stays in the full-width loop (correct,
+    slower). See _compact_deep for the cost model.
     """
     idt = _state_dtype(_rev_dtype(rev))
     take = make_take(shard_spec)
@@ -666,7 +743,8 @@ def plquery_batch(
             rev, prefix3, q3, x, xlist, ylist, n=n, length=length, k=k,
             buckets=buckets, most_over=most_over, most_under=most_under,
             max_over=max_over, max_under=max_under, idt=idt, take=take,
-            bounds=ab, ptab=ptab, pred2=pred2, pred2_bits=pred2_bits)
+            bounds=ab, ptab=ptab, pred2=pred2, pred2_bits=pred2_bits,
+            compact_escalate=compact_escalate, compact_cap=compact_cap)
     probe_rank = make_rank_probe(packed, rev, prefix, q_words,
                                  n=n, length=length, idt=idt, take=take)
     pred64 = predict_pwl(x, xlist, ylist, 2 * k, buckets, n, ptab=ptab,
@@ -869,6 +947,20 @@ def plquery_batch(
         )
 
     # --- phase D: masked binary search (:245-247) ---------------------------
+    if compact_escalate:
+        # bisect the escalated tail in a compacted [cap] batch first —
+        # the full-width loop below then only runs the shallow
+        # most-window depth (see _compact_deep)
+        cap = _compact_cap(res.shape[0], compact_cap)
+        idx32, valid, _ = _compact_deep(resolved, lo, hi,
+                                        most_over + most_under + 2, cap)
+        qw_c = jnp.take(q_words, idx32, axis=1)
+        probe_c = make_rank_probe(packed, rev, prefix, qw_c, n=n,
+                                  length=length, idt=idt, take=take)
+        res_c, _ = _masked_binary_search(
+            probe_c, jnp.take(lo, idx32), jnp.take(hi, idx32),
+            jnp.take(res, idx32), ~valid)
+        res, resolved = _scatter_back(res, resolved, idx32, valid, res_c)
     if multiprobe and prefix is not None and length <= 32:
         res, resolved = _masked_binary_search2(probe_rank, lo, hi, res,
                                                resolved)

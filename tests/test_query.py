@@ -524,3 +524,27 @@ def test_adaptive_bounds_variant():
             cnt = int((win == q[i]).all(axis=1).sum())
             if cnt == 1:
                 assert adap[i] == base[i], f"unique hit L={length} lane {i}"
+
+
+def test_compact_escalate_bit_parity():
+    """compact_escalate bisects the escalated tail in a compacted batch;
+    every returned position must be BIT-IDENTICAL to the default engine
+    (same per-lane decision sequence, different execution batch) — on
+    the fast3 path, the packed-probe path, and under a tiny forced cap
+    that overflows (overflow lanes fall back to the full-width loop)."""
+    from sapling_tpu.config import QueryConfig
+
+    seq = np.concatenate([repeat_genome(3000, period=48, seed=83),
+                          gc_biased_genome(27_000, seed=84)])
+    idx = SaplingIndex.build(
+        Genome(seq=seq, chr_ends=[(len(seq), "sim")]),
+        IndexConfig(k=21, buckets=9))
+    for length in (11, 21, 33):   # fast3 / fast3 / packed-probe paths
+        q = _sample_queries(seq, 600, length, seed=71 + length)
+        codes = packops.encode_bases(q)
+        base = idx.query_positions(codes)
+        for cap in (None, 4):     # auto cap; tiny cap forcing overflow
+            got = idx.query_positions(
+                codes, QueryConfig(compact_escalate=True, compact_cap=cap))
+            np.testing.assert_array_equal(
+                got, base, err_msg=f"length={length} cap={cap}")

@@ -39,6 +39,7 @@ def main(argv):
     qlen = int(kv.get("qLen", 21))
     iters = int(kv.get("iters", 10))
     adaptive = bool(int(kv.get("adaptive", 0)))
+    compact = bool(int(kv.get("compact", 0)))
 
     t0 = time.time()
     idx = SaplingIndex.load(argv[1])
@@ -79,7 +80,7 @@ def main(argv):
                 n=idx.n, length=qlen, k=idx.k, buckets=idx.buckets,
                 most_over=t.most_over, most_under=t.most_under,
                 max_over=t.max_over, max_under=t.max_under,
-                adaptive_bounds=adaptive)
+                adaptive_bounds=adaptive, compact_escalate=compact)
             return xx + out[0] * 0, out
 
         return jax.lax.fori_loop(
@@ -95,7 +96,8 @@ def main(argv):
     sample = min(nq, 200_000)
     ok = int(idx.verify_hits(codes2d[:sample], pos[:sample]).sum())
     print(f"plquery qLen={qlen}: {nq/dt:,.0f} q/s "
-          f"(fast3={use3}, adaptive={adaptive}); self-check {ok}/{sample}")
+          f"(fast3={use3}, adaptive={adaptive}, compact={compact}); "
+          f"self-check {ok}/{sample}")
     if ok != sample:
         raise SystemExit("self-check FAILED")
     return 0
