@@ -110,21 +110,11 @@ class SeedExtendAligner:
 
     def _count_hits(self, sa_pos: np.ndarray):
         """Vectorized countHitsLeft/Right (reference:
-        src/sapling_api.h:254-303). Both probe lcp[sa_pos] at i=0."""
-        idx = self.idx
-        n, k, mh = idx.n, idx.k, self.cfg.max_hits
-        m = idx.lcpk_fwd.shape[0]                 # == n-1 lcp entries
-        sp = np.clip(sa_pos, 0, m - 1)
-        fwd = np.where(sa_pos < m, idx.lcpk_fwd[sp].astype(np.int64), 0)
-        bwd = np.where(sa_pos < m, idx.lcpk_bwd[sp].astype(np.int64), 0)
-        right = np.minimum(np.minimum(fwd, n - k - sa_pos + 1), mh)
-        right = np.maximum(right, 0)
-        left = np.minimum(bwd, mh)
-        # the reference can return left == sa_pos+1 (its `sa_pos < i` stop
-        # fires one step late) and then reads rev[-1] — UB we refuse to
-        # reproduce; clamp to the number of ranks that actually exist.
-        left = np.minimum(left, sa_pos)
-        return left, right
+        src/sapling_api.h:254-303) — now the public
+        SaplingIndex.count_hits; the reference can return left ==
+        sa_pos+1 (its `sa_pos < i` stop fires one step late) and then
+        reads rev[-1], UB the index method clamps away."""
+        return self.idx.count_hits(sa_pos, self.cfg.max_hits)
 
     # --- main entry ---------------------------------------------------------
 

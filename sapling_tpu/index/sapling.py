@@ -380,6 +380,25 @@ class SaplingIndex:
         )
         return np.asarray(out)
 
+    def count_hits(self, sa_ranks: np.ndarray, max_hits: int = 32):
+        """Number of additional suffix-array neighbors sharing the first k
+        bases with each rank: (left, right) counts, each capped at
+        max_hits. Equivalent of reference countHitsLeft/countHitsRight
+        (src/sapling_api.h:254-303), vectorized over the lcp>=k
+        run-length arrays. The reference's off-by-one left walk can step
+        to rev[-1] (UB); left is clamped to the ranks that exist."""
+        n, k = self.n, self.k
+        sa_ranks = np.asarray(sa_ranks)
+        m = self.lcpk_fwd.shape[0]                # == n-1 lcp entries
+        sp = np.clip(sa_ranks, 0, m - 1)
+        fwd = np.where(sa_ranks < m, self.lcpk_fwd[sp].astype(np.int64), 0)
+        bwd = np.where(sa_ranks < m, self.lcpk_bwd[sp].astype(np.int64), 0)
+        # the right walk also stops at rank > n-k (":258"), a RANK cap
+        right = np.minimum(np.minimum(fwd, n - k - sa_ranks + 1), max_hits)
+        right = np.maximum(right, 0)
+        left = np.minimum(np.minimum(bwd, max_hits), sa_ranks)
+        return left, right
+
     def query_positions_binsearch(self, codes2d: np.ndarray) -> np.ndarray:
         """Classic binary-search baseline over the same device arrays."""
         dev = self.device_arrays()

@@ -548,3 +548,47 @@ def test_compact_escalate_bit_parity():
                 codes, QueryConfig(compact_escalate=True, compact_cap=cap))
             np.testing.assert_array_equal(
                 got, base, err_msg=f"length={length} cap={cap}")
+
+
+def test_count_hits_vs_reference_loop():
+    """SaplingIndex.count_hits replicates the reference countHitsLeft/
+    countHitsRight scalar walks (src/sapling_api.h:254-303) — except the
+    left walk's one-step-late stop (which lets the caller read rev[-1]):
+    left is clamped to sa_rank."""
+    seq = repeat_genome(6000, period=32, seed=91)  # dense lcp>=k runs
+    k = 16
+    idx = SaplingIndex.build(
+        Genome(seq=seq, chr_ends=[(len(seq), "sim")]),
+        IndexConfig(k=k, buckets=8))
+    n = idx.n
+    # reconstruct the reference lcp array from the index's inverse SA
+    sa = np.empty(n, dtype=np.int64)
+    sa[idx.inv] = np.arange(n)
+    lcp = np.zeros(n, dtype=np.int64)
+    for r in range(n - 1):
+        a, b = sa[r], sa[r + 1]
+        m = 0
+        while a + m < n and b + m < n and seq[a + m] == seq[b + m]:
+            m += 1
+        lcp[r] = m
+
+    def ref_right(sa_pos, mh):
+        for i in range(mh):
+            if i + sa_pos > n - k or lcp[i + sa_pos] < k:
+                return i
+        return mh
+
+    def ref_left(sa_pos, mh):
+        for i in range(mh):
+            if sa_pos < i or lcp[sa_pos - i] < k:
+                return i
+        return mh
+
+    rng = np.random.default_rng(17)
+    ranks = np.concatenate([[0, 1, n - 2, n - 1],
+                            rng.integers(0, n, 400)])
+    for mh in (4, 32):
+        left, right = idx.count_hits(ranks, mh)
+        for j, r in enumerate(ranks):
+            assert right[j] == ref_right(int(r), mh), (r, mh)
+            assert left[j] == min(ref_left(int(r), mh), int(r)), (r, mh)
