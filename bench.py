@@ -111,7 +111,12 @@ def main():
                 pred2=pred2, pred2_bits=p2bits,
                 n=idx.n, length=K, k=idx.k, buckets=idx.buckets,
                 most_over=t.most_over, most_under=t.most_under,
-                max_over=t.max_over, max_under=t.max_under)
+                max_over=t.max_over, max_under=t.max_under,
+                # Bisect the escalated ~2% tail in a compacted 128k-lane
+                # batch: the full-width loop then only runs the shallow
+                # 'most'-window depth. Bit-identical results; measured
+                # 5.13M -> 6.33M q/s (cap sweep in docs/PERFORMANCE.md).
+                compact_escalate=True, compact_cap=1 << 17)
             return xx + out[0] * 0, out  # chain: iteration i+1 needs out_i
 
         _, out = jax.lax.fori_loop(

@@ -40,6 +40,7 @@ def main(argv):
     iters = int(kv.get("iters", 10))
     adaptive = bool(int(kv.get("adaptive", 0)))
     compact = bool(int(kv.get("compact", 0)))
+    cap = int(kv["cap"]) if "cap" in kv else None
 
     t0 = time.time()
     idx = SaplingIndex.load(argv[1])
@@ -80,7 +81,8 @@ def main(argv):
                 n=idx.n, length=qlen, k=idx.k, buckets=idx.buckets,
                 most_over=t.most_over, most_under=t.most_under,
                 max_over=t.max_over, max_under=t.max_under,
-                adaptive_bounds=adaptive, compact_escalate=compact)
+                adaptive_bounds=adaptive, compact_escalate=compact,
+                compact_cap=cap)
             return xx + out[0] * 0, out
 
         return jax.lax.fori_loop(
