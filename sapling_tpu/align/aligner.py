@@ -234,6 +234,10 @@ class SeedExtendAligner:
                 mismatch=cfg.mismatch_penalty, gap_open=cfg.gap_open,
                 gap_extend=cfg.gap_extend, mask_len=cfg.mask_len,
             )
+            # materialize device results ONCE: np.asarray on a device
+            # array copies device->host every call, and the replay loop
+            # below reads scores per (seed, offset) candidate
+            ends = {kk: np.asarray(vv) for kk, vv in ends.items()}
             for i, key in enumerate(cand_meta):
                 score_by[key] = i
 
@@ -265,7 +269,7 @@ class SeedExtendAligner:
                         i = score_by.get((ei, so, off))
                         if i is None:           # window ran off genome end
                             continue
-                        sc = int(np.asarray(ends["score"])[i])
+                        sc = int(ends["score"][i])
                         if sc > best_score:
                             if sc == cfg.match_score * ln:
                                 done = True     # perfect full-length match
@@ -274,7 +278,7 @@ class SeedExtendAligner:
                             best_strand = strand
                             best_left = cand_left[i]
             if best_score > -1:
-                row = {kk: np.asarray(vv)[best_i] for kk, vv in ends.items()}
+                row = {kk: vv[best_i] for kk, vv in ends.items()}
                 al = finish_alignment(
                     np.asarray(cand_read[best_i], np.int8),
                     np.asarray(cand_ref[best_i], np.int8), row,
