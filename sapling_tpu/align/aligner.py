@@ -144,21 +144,35 @@ class SeedExtendAligner:
             entries.append((ri, 1, _SSW_TRANS[rc_raw], _UPPER_ACGT[rc_raw]))
 
         # --- phase 1: batched seed lookups ---------------------------------
-        seed_meta = []      # (entry_i, strand, seed_i, qpos)
-        seed_kmers = []     # [S, k] codes
-        seed_clean = []     # seed is uppercase ACGT throughout
-        for ei, (ri, strand, codes, seedable) in enumerate(entries):
-            for si, qpos in enumerate(self._seed_positions(len(codes))):
-                seed_meta.append((ei, strand, si, qpos))
-                seed_kmers.append(codes[qpos : qpos + k])
-                seed_clean.append(bool(seedable[qpos : qpos + k].all()))
-        positions = np.full(len(seed_meta), -1, dtype=np.int64)
-        if seed_meta:
-            sk = np.stack(seed_kmers)
-            valid = np.asarray(seed_clean)
-            if valid.any():
-                pos_v = idx.query_positions(sk[valid])
-                positions[valid] = pos_v
+        # Everything from here to the replay is vectorized over flat
+        # [entries x num_seeds] and [candidates] axes: the per-seed /
+        # per-candidate Python loops were ~65% of block wall time
+        # (profiled on TPU, 8192-read blocks; the kernels are not the
+        # aligner's bottleneck, the host loops are).
+        ne = len(entries)
+        ns = cfg.num_seeds
+        lens = np.array([len(e[2]) for e in entries], np.int64)
+        lmax = int(lens.max()) if ne else 0
+        codes_mat = np.zeros((ne, lmax), np.uint8)
+        seedable_mat = np.zeros((ne, lmax), bool)
+        for ei, (_ri, _st, codes, seedable) in enumerate(entries):
+            codes_mat[ei, : lens[ei]] = codes
+            seedable_mat[ei, : lens[ei]] = seedable
+        # seed offsets (reference: src/align.cpp:271-275): 0, last//(ns-1)*i,
+        # last — same values as _seed_positions, batched
+        last = lens - k
+        qpos_m = (last[:, None] // max(ns - 1, 1)) * np.arange(ns)[None, :]
+        if ne:
+            qpos_m[:, 0] = 0
+            qpos_m[:, ns - 1] = last if ns > 1 else 0
+        ei_s = np.repeat(np.arange(ne), ns)            # [S]
+        qpos_s = qpos_m.ravel()                        # [S]
+        gidx = qpos_s[:, None] + np.arange(k)[None, :]
+        seed_kmers = codes_mat[ei_s[:, None], gidx]    # [S, k]
+        valid = seedable_mat[ei_s[:, None], gidx].all(axis=1)
+        positions = np.full(ne * ns, -1, dtype=np.int64)
+        if valid.any():
+            positions[valid] = idx.query_positions(seed_kmers[valid])
 
         # --- phase 2: verify + hit counting ---------------------------------
         ref_pos = positions
@@ -168,67 +182,64 @@ class SeedExtendAligner:
                 np.clip(ref_pos[ok, None], 0, idx.n - k)
                 + np.arange(k)[None, :]
             ]
-            exact = (window == np.stack(seed_kmers)[ok]).all(axis=1)
-            tmp = np.zeros(len(seed_meta), bool)
+            exact = (window == seed_kmers[ok]).all(axis=1)
+            tmp = np.zeros(ne * ns, bool)
             tmp[np.flatnonzero(ok)[exact]] = True
             ok = tmp
         sa_pos = np.where(ok, idx.inv[np.clip(ref_pos, 0, idx.n - 1)], 0)
         left, right = self._count_hits(sa_pos)
 
-        # per entry: verified seeds as reference count tuples
-        per_entry_counts: dict[int, list] = {ei: [] for ei in range(len(entries))}
-        for gi, (ei, strand, si, qpos) in enumerate(seed_meta):
-            if ok[gi]:
-                per_entry_counts[ei].append((
-                    int(left[gi] + right[gi] + 1), int(qpos),
-                    int(sa_pos[gi]), int(left[gi]), int(right[gi]),
-                ))
-        for ei in per_entry_counts:
-            per_entry_counts[ei].sort()
+        # verified seeds, reference sort order within each entry: ascending
+        # (total, qpos, sa_pos, left, right) (src/align.cpp:301)
+        okI = np.flatnonzero(ok)
+        eiA = ei_s[okI]
+        qpA = qpos_s[okI].astype(np.int64)
+        spA = sa_pos[okI].astype(np.int64)
+        lfA = left[okI].astype(np.int64)
+        rgA = right[okI].astype(np.int64)
+        totA = lfA + rgA + 1
+        order = np.lexsort((rgA, lfA, spA, qpA, totA, eiA))
+        eiA, qpA, spA, lfA, rgA, totA = (
+            a[order] for a in (eiA, qpA, spA, lfA, rgA, totA))
+        seg_lo = np.searchsorted(eiA, np.arange(ne))
+        seg_hi = np.searchsorted(eiA, np.arange(ne) + 1)
+        soA = np.arange(len(eiA)) - (seg_lo[eiA] if len(eiA) else 0)
 
         # --- phase 3: superset candidate windows + batched SW ----------------
         # possible offset range per seed (reference: src/align.cpp:310-321):
         # total <= maxHits -> [-left, right]; else either [-mh/2-clamped]
         # (no best yet) or just {0}; the clamped range is a superset of {0}.
-        cand_meta = []   # (ei, seed_order, offset)
-        cand_read = []   # query codes (per candidate; shared per entry)
-        cand_ref = []    # window codes
-        cand_left = []   # window genome start
-        wmax, rmax = 0, 0
-        for ei, (ri, strand, codes, _sd) in enumerate(entries):
-            ln = len(codes)
-            for so, tpl in enumerate(per_entry_counts[ei]):
-                total, qpos, spos, lft, rgt = tpl
-                if lft + rgt > mh:
-                    lft = min(lft, mh // 2)
-                    rgt = min(rgt, mh // 2)
-                for off in range(-lft, rgt + 1):
-                    rp = int(idx.rev[spos + off])
-                    lo = rp - qpos - flank
-                    lo = max(lo, 0)
-                    hi = rp + (ln - qpos) + flank
-                    if hi >= idx.n:
-                        continue
-                    cand_meta.append((ei, so, off))
-                    cand_read.append(codes)
-                    cand_ref.append(idx.codes[lo:hi])
-                    cand_left.append(lo)
-                    wmax = max(wmax, ln)
-                    rmax = max(rmax, hi - lo)
+        over = lfA + rgA > mh
+        lfC = np.where(over, np.minimum(lfA, mh // 2), lfA)
+        rgC = np.where(over, np.minimum(rgA, mh // 2), rgA)
+        counts = (lfC + rgC + 1).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(counts)])
+        rep = np.repeat(np.arange(len(counts)), counts)   # seed row / cand
+        off = np.arange(csum[-1]) - csum[rep] - lfC[rep]
+        rp = idx.rev[spA[rep] + off].astype(np.int64)
+        ln_c = lens[eiA[rep]]
+        qp_c = qpA[rep]
+        lo = np.maximum(rp - qp_c - flank, 0)
+        hi = rp + (ln_c - qp_c) + flank
+        keep = hi < idx.n                                  # off-end windows
+        rep, off, lo, hi, ln_c = (a[keep] for a in (rep, off, lo, hi, ln_c))
 
         ends = None
         score_by: dict = {}
-        if cand_meta:
-            b = len(cand_meta)
-            q = np.zeros((b, wmax), np.int8)
-            r = np.zeros((b, rmax), np.int8)
-            ql = np.zeros(b, np.int32)
-            rl = np.zeros(b, np.int32)
-            for i in range(b):
-                ql[i] = len(cand_read[i])
-                rl[i] = len(cand_ref[i])
-                q[i, : ql[i]] = cand_read[i]
-                r[i, : rl[i]] = cand_ref[i]
+        cand_ei = eiA[rep]
+        cand_left = lo
+        if len(rep):
+            wmax = int(ln_c.max())
+            rl = (hi - lo).astype(np.int32)
+            rmax = int(rl.max())
+            q = codes_mat[cand_ei, :wmax].astype(np.int8)
+            col = np.arange(wmax)[None, :]
+            q[col >= ln_c[:, None]] = 0                    # zero-pad tails
+            ql = ln_c.astype(np.int32)
+            ridx = np.minimum(lo[:, None] + np.arange(rmax)[None, :],
+                              idx.n - 1)
+            r = idx.codes[ridx].astype(np.int8)
+            r[np.arange(rmax)[None, :] >= rl[:, None]] = 0
             ends = sw_align_ends(
                 q, ql, r, rl, match=cfg.match_score,
                 mismatch=cfg.mismatch_penalty, gap_open=cfg.gap_open,
@@ -238,50 +249,55 @@ class SeedExtendAligner:
             # array copies device->host every call, and the replay loop
             # below reads scores per (seed, offset) candidate
             ends = {kk: np.asarray(vv) for kk, vv in ends.items()}
-            for i, key in enumerate(cand_meta):
-                score_by[key] = i
+            score_by = {
+                (int(cand_ei[i]), int(soA[rep[i]]), int(off[i])): i
+                for i in range(len(rep))
+            }
 
         # --- replay: the reference's serial selection --------------------
+        entry_of_read: dict[int, list[int]] = {}
+        for ei, ent in enumerate(entries):
+            entry_of_read.setdefault(ent[0], []).append(ei)
+        scores = ends["score"] if ends is not None else None
         for ri, rd in enumerate(reads):
             if results[ri] is not None:
                 continue
-            eis = [ei for ei, ent in enumerate(entries) if ent[0] == ri]
             best_score, best_i, best_strand, best_left = -1, -1, 0, 0
             done = False
-            for ei in eis:                      # strand 0 then 1
+            for ei in entry_of_read.get(ri, ()):   # strand 0 then 1
                 if done:
                     break
                 strand = entries[ei][1]
                 ln = len(entries[ei][2])
-                for so, tpl in enumerate(per_entry_counts[ei]):
+                for j in range(seg_lo[ei], seg_hi[ei]):
                     if done:
                         break
-                    total, qpos, spos, lft, rgt = tpl
+                    so = j - seg_lo[ei]
+                    lft, rgt = int(lfA[j]), int(rgA[j])
                     if lft + rgt > mh:
                         if best_score == -1:
                             lft = min(lft, mh // 2)
                             rgt = min(rgt, mh // 2)
                         else:
                             lft = rgt = 0
-                    for off in range(-lft, rgt + 1):
+                    for o in range(-lft, rgt + 1):
                         if done:
                             break
-                        i = score_by.get((ei, so, off))
+                        i = score_by.get((ei, so, o))
                         if i is None:           # window ran off genome end
                             continue
-                        sc = int(ends["score"][i])
+                        sc = int(scores[i])
                         if sc > best_score:
                             if sc == cfg.match_score * ln:
                                 done = True     # perfect full-length match
                             best_score = sc
                             best_i = i
                             best_strand = strand
-                            best_left = cand_left[i]
+                            best_left = int(cand_left[i])
             if best_score > -1:
                 row = {kk: vv[best_i] for kk, vv in ends.items()}
                 al = finish_alignment(
-                    np.asarray(cand_read[best_i], np.int8),
-                    np.asarray(cand_ref[best_i], np.int8), row,
+                    q[best_i, : ql[best_i]], r[best_i, : rl[best_i]], row,
                     match=cfg.match_score, mismatch=cfg.mismatch_penalty,
                     gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
                 )
