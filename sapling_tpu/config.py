@@ -46,8 +46,9 @@ class QueryConfig:
     # Bisect the escalated tail (lanes beyond the most window) in a
     # compacted static-capacity batch so the full-width while_loop only
     # runs the shallow most-window depth (ops.query compact_escalate).
-    # Bit-identical results — same per-lane decision sequence.
-    compact_escalate: bool = False
+    # Bit-identical results — same per-lane decision sequence. Default ON:
+    # measured +23% at 4.6 Mbp and +125% at 230 Mbp (docs/PERFORMANCE.md).
+    compact_escalate: bool = True
     compact_cap: int | None = None  # None = batch/8 (ops.query._compact_cap)
 
 

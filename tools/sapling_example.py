@@ -50,7 +50,8 @@ def run_experiment(idx, qlen: int, nq: int, batch: int, rng, baseline=False):
             pred2=dev.get("pred2"), pred2_bits=dev.get("pred2_bits"),
             n=idx.n, length=qlen, k=idx.k, buckets=idx.buckets,
             most_over=t.most_over, most_under=t.most_under,
-            max_over=t.max_over, max_under=t.max_under)
+            max_over=t.max_over, max_under=t.max_under,
+            compact_escalate=True)
 
     # warmup (compile)
     pl(q_words[:batch], x[:batch]).block_until_ready()
