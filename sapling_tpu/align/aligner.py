@@ -92,22 +92,6 @@ class SeedExtendAligner:
                 f"index k={index.k} != aligner sapling_k={self.cfg.sapling_k}"
                 " — build the index with IndexConfig(k=sapling_k)")
 
-    # --- seeding ------------------------------------------------------------
-
-    def _seed_positions(self, length: int) -> list[int]:
-        """Seed query offsets (reference: src/align.cpp:271-275)."""
-        ns = self.cfg.num_seeds
-        last = length - self.idx.k
-        out = []
-        for i in range(ns):
-            if i == 0:
-                out.append(0)
-            elif i == ns - 1:
-                out.append(last)
-            else:
-                out.append(last // (ns - 1) * i)
-        return out
-
     def _count_hits(self, sa_pos: np.ndarray):
         """Vectorized countHitsLeft/Right (reference:
         src/sapling_api.h:254-303) — now the public
@@ -159,7 +143,7 @@ class SeedExtendAligner:
             codes_mat[ei, : lens[ei]] = codes
             seedable_mat[ei, : lens[ei]] = seedable
         # seed offsets (reference: src/align.cpp:271-275): 0, last//(ns-1)*i,
-        # last — same values as _seed_positions, batched
+        # last — batched over entries
         last = lens - k
         qpos_m = (last[:, None] // max(ns - 1, 1)) * np.arange(ns)[None, :]
         if ne:
