@@ -64,6 +64,47 @@ class ShardedQueryEngine:
             self.ylist = jax.device_put(t.ylist, rep)
             self.pred2 = None
             self.pred2_bits = None
+        self._fns: dict = {}
+
+    def _dp_call(self, length: int, use3: bool, max_stride_steps: int):
+        """Build (and cache) the shard_map-wrapped kernel for one query
+        shape class. shard_map — not plain GSPMD sharding — so each dp
+        shard compacts its own escalated tail locally (ops.query
+        compact_escalate needs a local nonzero; under GSPMD that would be
+        a cross-device gather). The query path still has zero collectives."""
+        key = (length, use3, max_stride_steps)
+        if key in self._fns:
+            return self._fns[key]
+        idx = self.index
+        t = idx.table
+        names = ["packed", "rev", "q_words", "x"]
+        specs = [P(), P(), P(None, "dp"), P("dp")]
+        for nm in ("xlist", "ylist", "prefix", "pred2"):
+            if getattr(self, nm) is not None:
+                names.append(nm)
+                specs.append(P())
+        if use3:
+            names += ["prefix3", "q3"]
+            specs += [P(), P("dp")]
+
+        def shard_fn(*a):
+            kw = dict(zip(names, a))
+            return plquery_batch(
+                kw["packed"], kw["rev"], kw.get("xlist"), kw.get("ylist"),
+                kw["q_words"], kw["x"], kw.get("prefix"),
+                kw.get("prefix3"), kw.get("q3"), pred2=kw.get("pred2"),
+                pred2_bits=self.pred2_bits,
+                n=idx.n, length=length, k=idx.k, buckets=idx.buckets,
+                most_over=t.most_over, most_under=t.most_under,
+                max_over=t.max_over, max_under=t.max_under,
+                max_stride_steps=max_stride_steps,
+                compact_escalate=True)
+
+        fn = jax.jit(jax.shard_map(
+            shard_fn, mesh=self.mesh,
+            in_specs=tuple(specs), out_specs=P("dp")))
+        self._fns[key] = (fn, names)
+        return fn, names
 
     def query_positions(self, codes2d: np.ndarray, max_stride_steps: int = 1 << 20):
         """[B, L] base codes -> [B] genome positions, dp-sharded."""
@@ -78,27 +119,23 @@ class ShardedQueryEngine:
             np.ascontiguousarray(q_words.T), ndp, 0)
         q_words = np.ascontiguousarray(q_words_p.T)
         x, _ = pad_to_multiple(x, ndp, 0)
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
         qs = jax.device_put(q_words,
                             NamedSharding(self.mesh, P(None, "dp")))
         xs = jax.device_put(x, dp_sharded(self.mesh, 1))
+        use3 = (self.prefix3 is not None
+                and length <= min(idx.k, packops.P3_BASES))
         q3s = None
-        if (self.prefix3 is not None
-                and length <= min(idx.k, packops.P3_BASES)):
+        if use3:
             q3, _ = pad_to_multiple(packops.pack_queries3(codes2d), ndp, 0)
             q3s = jax.device_put(q3, dp_sharded(self.mesh, 1))
-        t = idx.table
-        out = plquery_batch(
-            self.packed, self.rev, self.xlist, self.ylist, qs, xs,
-            self.prefix, self.prefix3, q3s, pred2=self.pred2,
-            pred2_bits=self.pred2_bits,
-            n=idx.n, length=length, k=idx.k,
-            buckets=idx.buckets,
-            most_over=t.most_over, most_under=t.most_under,
-            max_over=t.max_over, max_under=t.max_under,
-            max_stride_steps=max_stride_steps,
-        )
+        fn, names = self._dp_call(length, use3, max_stride_steps)
+        by_name = {
+            "packed": self.packed, "rev": self.rev, "xlist": self.xlist,
+            "ylist": self.ylist, "q_words": qs, "x": xs,
+            "prefix": self.prefix, "prefix3": self.prefix3, "q3": q3s,
+            "pred2": self.pred2,
+        }
+        out = fn(*[by_name[nm] for nm in names])
         return np.asarray(out)[:b]
 
 
