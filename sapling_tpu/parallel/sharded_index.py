@@ -179,7 +179,12 @@ class IndexShardedEngine:
                 most_over=t.most_over, most_under=t.most_under,
                 max_over=t.max_over, max_under=t.max_under,
                 max_stride_steps=max_stride_steps, shard_spec=spec,
-                adaptive_bounds=adaptive_bounds)
+                adaptive_bounds=adaptive_bounds,
+                # tail compaction composes with index sharding: probe
+                # outcomes are psum'd, hence identical on every idx shard,
+                # so the compacted loop's trip counts stay uniform and the
+                # per-round psums line up
+                compact_escalate=True)
 
         fn = jax.jit(jax.shard_map(
             shard_fn, mesh=self.mesh,
