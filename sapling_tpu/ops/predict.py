@@ -185,7 +185,7 @@ def _parts_pred2(bucket, pred2, pred2_bits, kbits: int):
     return xlo, d, ylo, m
 
 
-def _endpoints_packed(bucket, xlist, ylist):
+def _endpoints_packed(bucket, xlist, ylist, need_hi: bool = True):
     """Checkpoint gathers via one uint64 + one uint16 per endpoint.
 
     The int64 tables cost two u32 gather OPS per value under the
@@ -202,14 +202,17 @@ def _endpoints_packed(bucket, xlist, ylist):
     yl64 = _as_i64(ylist, jnp)
     xy = ((xl64.astype(jnp.uint64) << 32)
           | (yl64.astype(jnp.uint64) & jnp.uint64(0xFFFFFFFF)))
-    xh = (xl64 >> 32).astype(jnp.uint16)
+    # k <= 16 (kbits <= 32): every x fits the xy64 low half — the high-bits
+    # gather is statically zero and skipped (2 gather ops per prediction)
+    xh = (xl64 >> 32).astype(jnp.uint16) if need_hi else None
 
     def endpoint(j):
         w = jnp.take(xy, j)
-        h = jnp.take(xh, j)
         pair = jax.lax.bitcast_convert_type(w, jnp.uint32)
         y32, x32 = pair[..., 0], pair[..., 1]
-        x = (h.astype(jnp.int64) << 32) | x32.astype(jnp.int64)
+        x = x32.astype(jnp.int64)
+        if need_hi:
+            x = (jnp.take(xh, j).astype(jnp.int64) << 32) | x
         return x, y32.astype(jnp.int64)
 
     xlo, ylo = endpoint(bucket)
@@ -270,7 +273,8 @@ def predict_pwl(x, xlist, ylist, kbits: int, buckets: int, n: int, xp=jnp,
         # gathers straight from the slim split arguments instead
         # ((u16 hi, u32 lo) xlist + u32 ylist, index.sapling
         # .device_arrays): 6 gather ops, zero repack temps.
-        xlo, xhi, ylo, yhi = _endpoints_packed(bucket, xlist, ylist)
+        xlo, xhi, ylo, yhi = _endpoints_packed(bucket, xlist, ylist,
+                                               need_hi=kbits > 32)
     else:
         xlo = tk(xlist, bucket)
         xhi = tk(xlist, bucket + 1)
