@@ -39,7 +39,7 @@ import numpy as np
 from ..config import AlignerConfig
 from ..ops import pack as packops
 from ..ops.sw import sw_align_ends
-from .cigar import Alignment, finish_alignment
+from .cigar import Alignment, finish_alignments_batch
 from .sam import sam_header, sam_record
 
 _COMP_CODE = np.array([3, 2, 1, 0, 4], dtype=np.uint8)  # A<->T C<->G, N=N
@@ -243,6 +243,7 @@ class SeedExtendAligner:
         for ei, ent in enumerate(entries):
             entry_of_read.setdefault(ent[0], []).append(ei)
         scores = ends["score"] if ends is not None else None
+        winners = []  # (read_i, cand_i, strand, window_start)
         for ri, rd in enumerate(reads):
             if results[ri] is not None:
                 continue
@@ -279,26 +280,35 @@ class SeedExtendAligner:
                             best_strand = strand
                             best_left = int(cand_left[i])
             if best_score > -1:
-                row = {kk: vv[best_i] for kk, vv in ends.items()}
-                al = finish_alignment(
-                    q[best_i, : ql[best_i]], r[best_i, : rl[best_i]], row,
-                    match=cfg.match_score, mismatch=cfg.mismatch_penalty,
-                    gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
-                )
-            else:
-                al = None
-            if al is not None:
-                gpos = al.ref_begin + best_left
-                ref_name, last_end = _chr_of(idx.chr_ends, gpos)
-                al.ref_begin = gpos - last_end
-                results[ri] = AlignedRead(
-                    name=rd.name, seq=_as_str(rd.seq), qual=rd.qual,
-                    aligned=True, strand=best_strand, ref_name=ref_name,
-                    alignment=al)
+                winners.append((ri, best_i, best_strand, int(best_left)))
             else:
                 results[ri] = AlignedRead(
                     name=rd.name, seq=_as_str(rd.seq), qual=rd.qual,
                     aligned=False)
+
+        # one native call finishes every winner: traceback + soft clips +
+        # '='/'X' runs + mismatch counts (align.cigar.finish_alignments_batch)
+        if winners:
+            wi = np.array([w[1] for w in winners], np.int64)
+            rows = {kk: vv[wi] for kk, vv in ends.items()}
+            als = finish_alignments_batch(
+                q[wi], r[wi], ql[wi], rows,
+                match=cfg.match_score, mismatch=cfg.mismatch_penalty,
+                gap_open=cfg.gap_open, gap_extend=cfg.gap_extend)
+            for (ri, _bi, strand, bleft), al in zip(winners, als):
+                rd = reads[ri]
+                if al is None:  # traceback failure (align.cpp:336)
+                    results[ri] = AlignedRead(
+                        name=rd.name, seq=_as_str(rd.seq), qual=rd.qual,
+                        aligned=False)
+                    continue
+                gpos = al.ref_begin + bleft
+                ref_name, last_end = _chr_of(idx.chr_ends, gpos)
+                al.ref_begin = gpos - last_end
+                results[ri] = AlignedRead(
+                    name=rd.name, seq=_as_str(rd.seq), qual=rd.qual,
+                    aligned=True, strand=strand, ref_name=ref_name,
+                    alignment=al)
         return results
 
     def align_fastq(self, fastq_path, out, cl: str = "align",

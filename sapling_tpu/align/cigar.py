@@ -92,6 +92,41 @@ def finish_alignment(
     return a
 
 
+def finish_alignments_batch(
+    q: np.ndarray, r: np.ndarray, ql: np.ndarray, ends_rows: dict,
+    *, match: int = 2, mismatch: int = 2, gap_open: int = 3,
+    gap_extend: int = 1) -> list[Alignment | None]:
+    """finish_alignment for a whole block of winning candidates in ONE
+    native call (traceback + soft clips + '='/'X' split + mismatch count
+    all in C++; the per-base Python loop in _mark_mismatch was a top-3
+    cost of aligner blocks). Row b uses q[b]/r[b] full-window codes and
+    ends_rows[...][b] endpoint fields. None rows = traceback failure."""
+    from ..native import finish_batch
+
+    cigs, n_ops, mism = finish_batch(
+        q, r, ql, ends_rows["score"], ends_rows["ref_begin"],
+        ends_rows["ref_end"], ends_rows["read_begin"],
+        ends_rows["read_end"], match=match, mismatch=mismatch,
+        gap_open=gap_open, gap_extend=gap_extend)
+    out: list[Alignment | None] = []
+    for b in range(len(n_ops)):
+        if n_ops[b] < 0:
+            out.append(None)
+            continue
+        out.append(Alignment(
+            sw_score=int(ends_rows["score"][b]),
+            sw_score_next_best=int(ends_rows["score2"][b]),
+            ref_begin=int(ends_rows["ref_begin"][b]),
+            ref_end=int(ends_rows["ref_end"][b]),
+            query_begin=int(ends_rows["read_begin"][b]),
+            query_end=int(ends_rows["read_end"][b]),
+            ref_end_next_best=int(ends_rows["ref_end2"][b]),
+            mismatches=int(mism[b]),
+            cigar=cigs[b, : n_ops[b]].tolist(),
+        ))
+    return out
+
+
 def _mark_mismatch(ops, read_codes, ref_codes, query_begin, ref_begin,
                    query_len):
     """CalculateNumberMismatch (reference: src/ssw_cpp.cpp:120-210):

@@ -36,6 +36,12 @@ def _lib() -> ctypes.CDLL:
         ctypes.c_int32, u32p, ctypes.c_int32,
     ]
     lib.stpu_banded_cigar.restype = ctypes.c_int32
+    lib.stpu_finish_batch.argtypes = [
+        i8p, ctypes.c_int32, i8p, ctypes.c_int32, i32p, i32p, i32p, i32p,
+        i32p, i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, u32p, ctypes.c_int32, i32p, i32p,
+    ]
+    lib.stpu_finish_batch.restype = ctypes.c_int32
     return lib
 
 
@@ -139,3 +145,44 @@ def banded_cigar(ref_codes: np.ndarray, read_codes: np.ndarray, score: int,
     if n < 0:
         raise RuntimeError(f"stpu_banded_cigar rc={n}")
     return out[:n].copy()
+
+
+def finish_batch(q: np.ndarray, r: np.ndarray, ql: np.ndarray,
+                 score: np.ndarray, ref_begin: np.ndarray,
+                 ref_end: np.ndarray, read_begin: np.ndarray,
+                 read_end: np.ndarray, *, match: int, mismatch: int,
+                 gap_open: int, gap_extend: int):
+    """Batched banded traceback + SSW post-processing for winning rows.
+
+    q/r: [B, W]/[B, R] int8 full read / full ref-window codes; the other
+    arrays are per-row int32 endpoint fields from ops.sw.sw_align_ends.
+    Returns (cigars [B, cap] uint32, n_ops [B] int32 with -1 = traceback
+    failure, mismatches [B] int32) — final SAM cigars including soft clips
+    and '='/'X' runs (reference: src/ssw_cpp.cpp:54-210).
+    """
+    q = np.ascontiguousarray(q, dtype=np.int8)
+    r = np.ascontiguousarray(r, dtype=np.int8)
+    b = q.shape[0]
+    cap = int(q.shape[1] + r.shape[1] + 8)
+    out = np.empty((b, cap), dtype=np.uint32)
+    n_ops = np.empty(b, dtype=np.int32)
+    mism = np.empty(b, dtype=np.int32)
+    if b == 0:
+        return out, n_ops, mism
+    i32 = lambda a: np.ascontiguousarray(a, dtype=np.int32)  # noqa: E731
+    ql, score, ref_begin, ref_end, read_begin, read_end = map(
+        i32, (ql, score, ref_begin, ref_end, read_begin, read_end))
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    rc = _lib().stpu_finish_batch(
+        q.ctypes.data_as(i8p), q.shape[1], r.ctypes.data_as(i8p), r.shape[1],
+        ql.ctypes.data_as(i32p), score.ctypes.data_as(i32p),
+        ref_begin.ctypes.data_as(i32p), ref_end.ctypes.data_as(i32p),
+        read_begin.ctypes.data_as(i32p), read_end.ctypes.data_as(i32p),
+        b, match, mismatch, gap_open, gap_extend,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), cap,
+        n_ops.ctypes.data_as(i32p), mism.ctypes.data_as(i32p),
+    )
+    if rc != 0:
+        raise RuntimeError(f"stpu_finish_batch rc={rc}")
+    return out, n_ops, mism

@@ -20,6 +20,7 @@
 // CIGAR ints use the SAM/BAM packing length<<4 | op with
 // op in {0:M 1:I 2:D 4:S 7:= 8:X}.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -46,6 +47,14 @@ inline int32_t band_d(int32_t band, int32_t i, int32_t j, int32_t p) {
 
 inline uint32_t cig(uint32_t len, uint32_t op) { return (len << 4) | op; }
 
+// Banded DP + traceback core. ref/read point at the aligned region ONLY;
+// emits M/I/D ops in SAM order into c. Returns op count or -1 on
+// traceback failure.
+int32_t banded_core(const int8_t* ref, const int8_t* read, int32_t refLen,
+                    int32_t readLen, int32_t score, int32_t match,
+                    int32_t mismatch, int32_t gapO, int32_t gapE,
+                    int32_t band_width, std::vector<uint32_t>& c);
+
 }  // namespace
 
 extern "C" {
@@ -61,7 +70,113 @@ int32_t stpu_banded_cigar(const int8_t* ref, const int8_t* read,
                           int32_t match, int32_t mismatch, int32_t gapO,
                           int32_t gapE, int32_t band_width, uint32_t* out,
                           int32_t out_cap) {
-  if (refLen <= 0 || readLen <= 0 || out_cap <= 0) return -1;
+  if (out_cap <= 0) return -1;
+  std::vector<uint32_t> c;
+  int32_t n = banded_core(ref, read, refLen, readLen, score, match,
+                          mismatch, gapO, gapE, band_width, c);
+  if (n < 0) return -1;
+  if (n > out_cap) return -2;
+  for (int32_t t = 0; t < n; ++t) out[(size_t)t] = c[(size_t)t];
+  return n;
+}
+
+// Batched traceback + SSW-wrapper post-processing for the per-read WINNING
+// candidates: banded_core over the aligned slices, then soft-clip the
+// unaligned read ends, split M runs into '='/'X', and count mismatches as
+// X bases + I/D lengths (reference: src/ssw_cpp.cpp:54-92 ConvertAlignment,
+// :120-210 CalculateNumberMismatch). One call per aligner block instead of
+// one ctypes round-trip + per-base Python loop per read.
+//
+// q/r: [B, q_stride] / [B, r_stride] int8 code matrices (full read, full
+// ref window). ql: full read lengths (for the tail soft clip). Per row:
+// final ops at out + b*out_stride, count in n_ops[b] (-1 = traceback
+// failure), mismatches in mism[b]. Returns 0, or -2 if out_stride is too
+// small for some row.
+int32_t stpu_finish_batch(const int8_t* q, int32_t q_stride, const int8_t* r,
+                          int32_t r_stride, const int32_t* ql,
+                          const int32_t* score, const int32_t* ref_begin,
+                          const int32_t* ref_end, const int32_t* read_begin,
+                          const int32_t* read_end, int32_t nrows,
+                          int32_t match, int32_t mismatch, int32_t gapO,
+                          int32_t gapE, uint32_t* out, int32_t out_stride,
+                          int32_t* n_ops, int32_t* mism) {
+  std::vector<uint32_t> raw, fin;
+  for (int32_t b = 0; b < nrows; ++b) {
+    const int8_t* qq = q + (size_t)b * (size_t)q_stride;
+    const int8_t* rr = r + (size_t)b * (size_t)r_stride;
+    const int32_t rb = ref_begin[b], qb = read_begin[b];
+    const int32_t refLen = ref_end[b] - rb + 1;
+    const int32_t readLen = read_end[b] - qb + 1;
+    int32_t band = refLen - readLen;
+    if (band < 0) band = -band;
+    band += 1;  // ssw.c:885
+    raw.clear();
+    int32_t n = banded_core(rr + rb, qq + qb, refLen, readLen, score[b],
+                            match, mismatch, gapO, gapE, band, raw);
+    if (n < 0) {
+      n_ops[b] = -1;
+      mism[b] = 0;
+      continue;
+    }
+    fin.clear();
+    int32_t mm = 0;
+    if (qb > 0) fin.push_back(cig((uint32_t)qb, 4u));
+    int32_t ri = rb, qi = qb;
+    uint32_t run_op = 0xFFu, run_len = 0;
+    auto flush = [&]() {
+      if (run_len) fin.push_back(cig(run_len, run_op));
+      run_len = 0;
+      run_op = 0xFFu;
+    };
+    for (int32_t t = 0; t < n; ++t) {
+      const uint32_t op = raw[(size_t)t] & 0xFu;
+      const uint32_t len = raw[(size_t)t] >> 4;
+      if (op == 0u) {  // M -> per-base '='/'X'
+        for (uint32_t s = 0; s < len; ++s) {
+          const bool eq = rr[ri] == qq[qi];
+          const uint32_t want = eq ? 7u : 8u;
+          if (run_op != want) {
+            flush();
+            run_op = want;
+          }
+          ++run_len;
+          if (!eq) ++mm;
+          ++ri;
+          ++qi;
+        }
+      } else if (op == 1u) {  // I
+        flush();
+        qi += (int32_t)len;
+        mm += (int32_t)len;
+        fin.push_back(raw[(size_t)t]);
+      } else {  // D
+        flush();
+        ri += (int32_t)len;
+        mm += (int32_t)len;
+        fin.push_back(raw[(size_t)t]);
+      }
+    }
+    flush();
+    const int32_t tail = ql[b] - qi;  // query_len - query_end - 1, qi = end+1
+    if (tail > 0) fin.push_back(cig((uint32_t)tail, 4u));
+    if ((int32_t)fin.size() > out_stride) return -2;
+    for (size_t t = 0; t < fin.size(); ++t)
+      out[(size_t)b * (size_t)out_stride + t] = fin[t];
+    n_ops[b] = (int32_t)fin.size();
+    mism[b] = mm;
+  }
+  return 0;
+}
+
+}  // extern "C"
+
+namespace {
+
+int32_t banded_core(const int8_t* ref, const int8_t* read, int32_t refLen,
+                    int32_t readLen, int32_t score, int32_t match,
+                    int32_t mismatch, int32_t gapO, int32_t gapE,
+                    int32_t band_width, std::vector<uint32_t>& c) {
+  if (refLen <= 0 || readLen <= 0) return -1;
   std::vector<int32_t> h_b, e_b, h_c;
   std::vector<int8_t> direction;
   int32_t max = 0;
@@ -123,7 +238,7 @@ int32_t stpu_banded_cigar(const int8_t* ref, const int8_t* read,
   band_width /= 2;
 
   // traceback (reference: src/ssw.c:668-745)
-  std::vector<uint32_t> c;
+  c.clear();
   int32_t i = readLen - 1, j = refLen - 1;
   int32_t e = 0;  // run length of the current op
   char op = 'M', prev_op = 'M';
@@ -167,10 +282,8 @@ int32_t stpu_banded_cigar(const int8_t* ref, const int8_t* read,
     c.push_back(cig(1u, 0u));
   }
 
-  int32_t n = (int32_t)c.size();
-  if (n > out_cap) return -2;
-  for (int32_t t = 0; t < n; ++t) out[(size_t)t] = c[(size_t)(n - 1 - t)];
-  return n;
+  std::reverse(c.begin(), c.end());
+  return (int32_t)c.size();
 }
 
-}  // extern "C"
+}  // namespace
