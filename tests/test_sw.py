@@ -247,3 +247,39 @@ def test_mark_mismatch_hand_case():
     assert al is not None
     assert al.cigar_string == "1=1X5=1S"
     assert al.mismatches == 1
+
+
+def test_finish_batch_matches_single_row():
+    """finish_alignments_batch (one native call: traceback + clips + =/X +
+    mismatch count) is row-for-row identical to finish_alignment."""
+    from sapling_tpu.align.cigar import finish_alignments_batch
+
+    rng = np.random.default_rng(555)
+    cases = []
+    for _ in range(48):
+        qlen = int(rng.integers(10, 110))
+        rlen = qlen + int(rng.integers(0, 12))
+        cases.append(_rand_case(rng, qlen, rlen, related=True))
+    w = max(len(q) for q, _ in cases)
+    rmax = max(len(r) for _, r in cases)
+    q, ql, r, rl = _batchify(cases, w, rmax)
+    ends = {k: np.asarray(v) for k, v in sw_align_ends(q, ql, r, rl).items()}
+    keep = np.flatnonzero(ends["score"] > 0)
+    rows = {k: v[keep] for k, v in ends.items()}
+    als = finish_alignments_batch(np.asarray(q)[keep], np.asarray(r)[keep],
+                                  np.asarray(ql)[keep], rows)
+    assert len(keep) > 40
+    for j, i in enumerate(keep):
+        qc, rc = cases[i]
+        row = {k: v[i] for k, v in ends.items()}
+        want = finish_alignment(qc, rc, row)
+        got = als[j]
+        assert (got is None) == (want is None)
+        if want is None:
+            continue
+        assert got.cigar == want.cigar
+        assert got.mismatches == want.mismatches
+        assert (got.sw_score, got.ref_begin, got.ref_end, got.query_begin,
+                got.query_end) == (want.sw_score, want.ref_begin,
+                                   want.ref_end, want.query_begin,
+                                   want.query_end)
