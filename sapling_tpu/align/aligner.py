@@ -185,9 +185,6 @@ class SeedExtendAligner:
         order = np.lexsort((rgA, lfA, spA, qpA, totA, eiA))
         eiA, qpA, spA, lfA, rgA, totA = (
             a[order] for a in (eiA, qpA, spA, lfA, rgA, totA))
-        seg_lo = np.searchsorted(eiA, np.arange(ne))
-        seg_hi = np.searchsorted(eiA, np.arange(ne) + 1)
-        soA = np.arange(len(eiA)) - (seg_lo[eiA] if len(eiA) else 0)
 
         # --- phase 3: superset candidate windows + batched SW ----------------
         # possible offset range per seed (reference: src/align.cpp:310-321):
@@ -209,7 +206,6 @@ class SeedExtendAligner:
         rep, off, lo, hi, ln_c = (a[keep] for a in (rep, off, lo, hi, ln_c))
 
         ends = None
-        score_by: dict = {}
         cand_ei = eiA[rep]
         cand_left = lo
         if len(rep):
@@ -233,55 +229,52 @@ class SeedExtendAligner:
             # array copies device->host every call, and the replay loop
             # below reads scores per (seed, offset) candidate
             ends = {kk: np.asarray(vv) for kk, vv in ends.items()}
-            score_by = {
-                (int(cand_ei[i]), int(soA[rep[i]]), int(off[i])): i
-                for i in range(len(rep))
-            }
-
-        # --- replay: the reference's serial selection --------------------
-        entry_of_read: dict[int, list[int]] = {}
-        for ei, ent in enumerate(entries):
-            entry_of_read.setdefault(ent[0], []).append(ei)
-        scores = ends["score"] if ends is not None else None
+        # --- replay: the reference's serial selection, vectorized --------
+        # The reference walks candidates serially with a strict-greater
+        # best update and a perfect-match early exit (src/align.cpp:
+        # 301-348). Three facts make the winner computable without the
+        # walk:
+        #   * the winner is the FIRST visited candidate attaining the max
+        #     visited score (strict > keeps the earliest max; the early
+        #     exit only skips candidates that cannot strictly beat a
+        #     perfect score, and the first perfect row IS the first max);
+        #   * "a best exists" from the first visited candidate onward (SW
+        #     scores are >= 0 > the -1 sentinel), so the maxHits clamping
+        #     (:310-321) visits the full clamped range only for seeds up
+        #     to and including the first seed that yields any in-genome
+        #     window (y0), and just offset 0 for later over-limit seeds;
+        #   * candidate rows were built in walk order (reads partition the
+        #     row array contiguously: entries fwd,rc consecutive, seeds in
+        #     sorted order, offsets ascending), so "first" = lowest row.
         winners = []  # (read_i, cand_i, strand, window_start)
+        read_of_entry = np.array([e[0] for e in entries], np.int64)
+        nr = len(reads)
+        if len(rep):
+            c = len(rep)
+            cand_rd = read_of_entry[cand_ei]               # [C] ascending
+            # y0[read]: first seed row with >= 1 surviving window
+            yrows = np.unique(rep)
+            y0 = np.full(nr, len(eiA), np.int64)
+            np.minimum.at(y0, read_of_entry[eiA[yrows]], yrows)
+            elig = ((rep == y0[cand_rd]) | (totA[rep] <= mh) | (off == 0))
+            sc = np.asarray(ends["score"], np.int64)[:c]
+            key = np.where(elig, sc, -1)
+            best_sc = np.full(nr, -1, np.int64)
+            np.maximum.at(best_sc, cand_rd, key)
+            is_best = (key >= 0) & (key == best_sc[cand_rd])
+            win = np.full(nr, c, np.int64)
+            bi = np.flatnonzero(is_best)
+            np.minimum.at(win, cand_rd[bi], bi)
+            strand_of_entry = np.array([e[1] for e in entries], np.int64)
+            for ri in np.flatnonzero(win < c):
+                w = int(win[ri])
+                winners.append((int(ri), w, int(strand_of_entry[cand_ei[w]]),
+                                int(cand_left[w])))
+        has_winner = np.zeros(nr, bool)
+        for ri, *_ in winners:
+            has_winner[ri] = True
         for ri, rd in enumerate(reads):
-            if results[ri] is not None:
-                continue
-            best_score, best_i, best_strand, best_left = -1, -1, 0, 0
-            done = False
-            for ei in entry_of_read.get(ri, ()):   # strand 0 then 1
-                if done:
-                    break
-                strand = entries[ei][1]
-                ln = len(entries[ei][2])
-                for j in range(seg_lo[ei], seg_hi[ei]):
-                    if done:
-                        break
-                    so = j - seg_lo[ei]
-                    lft, rgt = int(lfA[j]), int(rgA[j])
-                    if lft + rgt > mh:
-                        if best_score == -1:
-                            lft = min(lft, mh // 2)
-                            rgt = min(rgt, mh // 2)
-                        else:
-                            lft = rgt = 0
-                    for o in range(-lft, rgt + 1):
-                        if done:
-                            break
-                        i = score_by.get((ei, so, o))
-                        if i is None:           # window ran off genome end
-                            continue
-                        sc = int(scores[i])
-                        if sc > best_score:
-                            if sc == cfg.match_score * ln:
-                                done = True     # perfect full-length match
-                            best_score = sc
-                            best_i = i
-                            best_strand = strand
-                            best_left = int(cand_left[i])
-            if best_score > -1:
-                winners.append((ri, best_i, best_strand, int(best_left)))
-            else:
+            if results[ri] is None and not has_winner[ri]:
                 results[ri] = AlignedRead(
                     name=rd.name, seq=_as_str(rd.seq), qual=rd.qual,
                     aligned=False)

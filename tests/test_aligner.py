@@ -160,3 +160,57 @@ def test_alignment_quality_vs_truth(corpus):
     assert i == 120
     assert n_aligned >= 115, f"only {n_aligned}/120 aligned"
     assert n_good >= n_aligned - 2, f"{n_good}/{n_aligned} within 10bp"
+
+
+def test_sam_byte_parity_repeat_heavy(ref_align_bin, tmp_path):
+    """maxHits-clamping coverage: a tandem-repeat region gives 16-mer seeds
+    with >32 occurrences, exercising the reference's dynamic offset
+    clamping (src/align.cpp:310-321 — full clamped range only until a best
+    exists, then offset 0 only) that the vectorized winner selection
+    reproduces via the y0/eligibility model. Also includes reads at the
+    genome's very end (off-end candidate windows)."""
+    d = str(tmp_path)
+    rng = np.random.default_rng(2024)
+    unit = uniform_genome(180, seed=5)
+    g = np.concatenate([
+        uniform_genome(25_000, seed=61),
+        np.tile(unit, 70),                      # ~12.6 kb tandem repeat
+        uniform_genome(25_000, seed=62),
+    ])
+    ref_fa = os.path.join(d, "ref.fa")
+    write_fasta(ref_fa, [("chrR", bytes(g))])
+    n = len(g)
+    starts = np.concatenate([
+        rng.integers(24_000, 26_000, 40),       # span unique/repeat edge
+        rng.integers(27_000, 35_000, 40),       # deep inside the repeat
+        rng.integers(n - 140, n - 100, 10),     # at the genome end
+        rng.integers(0, n - 100, 30),
+    ])
+    reads = []
+    base_map = np.frombuffer(b"ACGT", np.uint8)
+    for s in starts:
+        r = g[s : s + 100].copy()
+        mut = rng.random(100) < 0.02
+        r[mut] = base_map[rng.integers(0, 4, mut.sum())]
+        if rng.random() < 0.5:
+            comp = {65: 84, 67: 71, 71: 67, 84: 65}
+            r = np.array([comp[int(b)] for b in r[::-1]], np.uint8)
+        reads.append(r)
+    fq = os.path.join(d, "reads.fq")
+    write_fastq(fq, np.stack(reads))
+    ref_sam = os.path.join(d, "ref_out.sam")
+    our_sam = os.path.join(d, "our_out.sam")
+    res = subprocess.run([ref_align_bin, fq, ref_fa, ref_sam],
+                         capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr
+    idx = SaplingIndex.from_fasta(ref_fa, IndexConfig(k=16))
+    # sanity: the corpus really exercises the over-maxHits branch
+    lft, rgt = idx.count_hits(np.asarray([idx.inv[30_000]]), 32)
+    assert int(lft[0]) + int(rgt[0]) > 32
+    SeedExtendAligner(idx, AlignerConfig()).align_fastq(fq, our_sam, cl="x")
+    ref_lines = open(ref_sam).read().splitlines()
+    our_lines = open(our_sam).read().splitlines()
+    assert len(our_lines) == len(ref_lines)
+    diffs = [(i, a, b) for i, (a, b) in enumerate(zip(our_lines, ref_lines))
+             if a != b and not a.startswith("@PG")]
+    assert not diffs, f"{len(diffs)} differing lines; first: {diffs[0]}"
