@@ -32,13 +32,14 @@ inv[ref_pos], the semantically intended array (SURVEY.md §3.2).
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 
 import numpy as np
 
 from ..config import AlignerConfig
 from ..ops import pack as packops
-from ..ops.sw import sw_align_ends
+from ..ops.sw import sw_align_begins, sw_align_ends
 from .cigar import Alignment, finish_alignments_batch
 from .sam import sam_header, sam_record
 
@@ -91,6 +92,10 @@ class SeedExtendAligner:
             raise ValueError(
                 f"index k={index.k} != aligner sapling_k={self.cfg.sapling_k}"
                 " — build the index with IndexConfig(k=sapling_k)")
+        # cumulative per-phase wall time across align_block calls (the
+        # observability hook bench_align prints; device phases include the
+        # host-side materialization of their results)
+        self.phase_seconds: dict[str, float] = {}
 
     def _count_hits(self, sa_pos: np.ndarray):
         """Vectorized countHitsLeft/Right (reference:
@@ -108,6 +113,14 @@ class SeedExtendAligner:
         idx, cfg = self.idx, self.cfg
         k, flank, mh = idx.k, cfg.flanking, cfg.max_hits
         results: list[AlignedRead | None] = [None] * len(reads)
+
+        _t = [time.perf_counter()]
+
+        def _tick(name):
+            now = time.perf_counter()
+            self.phase_seconds[name] = (
+                self.phase_seconds.get(name, 0.0) + now - _t[0])
+            _t[0] = now
 
         # encode both strands of every usable read (SSW translation; the
         # seed path additionally requires uppercase ACGT, see _UPPER_ACGT)
@@ -155,8 +168,10 @@ class SeedExtendAligner:
         seed_kmers = codes_mat[ei_s[:, None], gidx]    # [S, k]
         valid = seedable_mat[ei_s[:, None], gidx].all(axis=1)
         positions = np.full(ne * ns, -1, dtype=np.int64)
+        _tick("encode")
         if valid.any():
             positions[valid] = idx.query_positions(seed_kmers[valid])
+        _tick("query(dev)")
 
         # --- phase 2: verify + hit counting ---------------------------------
         ref_pos = positions
@@ -185,6 +200,7 @@ class SeedExtendAligner:
         order = np.lexsort((rgA, lfA, spA, qpA, totA, eiA))
         eiA, qpA, spA, lfA, rgA, totA = (
             a[order] for a in (eiA, qpA, spA, lfA, rgA, totA))
+        _tick("hits")
 
         # --- phase 3: superset candidate windows + batched SW ----------------
         # possible offset range per seed (reference: src/align.cpp:310-321):
@@ -205,6 +221,25 @@ class SeedExtendAligner:
         keep = hi < idx.n                                  # off-end windows
         rep, off, lo, hi, ln_c = (a[keep] for a in (rep, off, lo, hi, ln_c))
 
+        # Eligibility is pure geometry — known BEFORE scoring. The serial
+        # walk visits an over-maxHits seed's full clamped range only while
+        # no best exists, i.e. only for the read's first seed with any
+        # surviving window (y0); later over-limit seeds contribute offset 0
+        # alone (src/align.cpp:310-321). Scoring ineligible windows is pure
+        # waste — on repeat-heavy genomes they are the bulk of the superset
+        # (measured 79% of block time in SW before this pruning).
+        read_of_entry = np.array([e[0] for e in entries], np.int64)
+        nr = len(reads)
+        if len(rep):
+            yrows = np.unique(rep)
+            y0 = np.full(nr, len(eiA), np.int64)
+            np.minimum.at(y0, read_of_entry[eiA[yrows]], yrows)
+            cand_rd_all = read_of_entry[eiA[rep]]
+            elig = ((rep == y0[cand_rd_all]) | (totA[rep] <= mh)
+                    | (off == 0))
+            rep, off, lo, hi, ln_c = (
+                a[elig] for a in (rep, off, lo, hi, ln_c))
+
         ends = None
         cand_ei = eiA[rep]
         cand_left = lo
@@ -220,15 +255,22 @@ class SeedExtendAligner:
                               idx.n - 1)
             r = idx.codes[ridx].astype(np.int8)
             r[np.arange(rmax)[None, :] >= rl[:, None]] = 0
+            _tick("windows")
+            # forward pass only: winner selection needs just the scores;
+            # the reverse (begin-position) pass runs later on the <=1-per-
+            # read winner rows via sw_align_begins — candidates outnumber
+            # winners ~50:1, so this halves the SW device work
             ends = sw_align_ends(
                 q, ql, r, rl, match=cfg.match_score,
                 mismatch=cfg.mismatch_penalty, gap_open=cfg.gap_open,
                 gap_extend=cfg.gap_extend, mask_len=cfg.mask_len,
+                forward_only=True,
             )
             # materialize device results ONCE: np.asarray on a device
             # array copies device->host every call, and the replay loop
             # below reads scores per (seed, offset) candidate
             ends = {kk: np.asarray(vv) for kk, vv in ends.items()}
+        _tick("sw(dev)")
         # --- replay: the reference's serial selection, vectorized --------
         # The reference walks candidates serially with a strict-greater
         # best update and a perfect-match early exit (src/align.cpp:
@@ -239,29 +281,20 @@ class SeedExtendAligner:
         #     exit only skips candidates that cannot strictly beat a
         #     perfect score, and the first perfect row IS the first max);
         #   * "a best exists" from the first visited candidate onward (SW
-        #     scores are >= 0 > the -1 sentinel), so the maxHits clamping
-        #     (:310-321) visits the full clamped range only for seeds up
-        #     to and including the first seed that yields any in-genome
-        #     window (y0), and just offset 0 for later over-limit seeds;
+        #     scores are >= 0 > the -1 sentinel) — the y0 eligibility
+        #     pruning above already reduced rows to exactly the visited
+        #     candidates whose scores can matter;
         #   * candidate rows were built in walk order (reads partition the
         #     row array contiguously: entries fwd,rc consecutive, seeds in
         #     sorted order, offsets ascending), so "first" = lowest row.
         winners = []  # (read_i, cand_i, strand, window_start)
-        read_of_entry = np.array([e[0] for e in entries], np.int64)
-        nr = len(reads)
         if len(rep):
             c = len(rep)
             cand_rd = read_of_entry[cand_ei]               # [C] ascending
-            # y0[read]: first seed row with >= 1 surviving window
-            yrows = np.unique(rep)
-            y0 = np.full(nr, len(eiA), np.int64)
-            np.minimum.at(y0, read_of_entry[eiA[yrows]], yrows)
-            elig = ((rep == y0[cand_rd]) | (totA[rep] <= mh) | (off == 0))
             sc = np.asarray(ends["score"], np.int64)[:c]
-            key = np.where(elig, sc, -1)
             best_sc = np.full(nr, -1, np.int64)
-            np.maximum.at(best_sc, cand_rd, key)
-            is_best = (key >= 0) & (key == best_sc[cand_rd])
+            np.maximum.at(best_sc, cand_rd, sc)
+            is_best = sc == best_sc[cand_rd]
             win = np.full(nr, c, np.int64)
             bi = np.flatnonzero(is_best)
             np.minimum.at(win, cand_rd[bi], bi)
@@ -279,11 +312,18 @@ class SeedExtendAligner:
                     name=rd.name, seq=_as_str(rd.seq), qual=rd.qual,
                     aligned=False)
 
+        _tick("winner")
         # one native call finishes every winner: traceback + soft clips +
         # '='/'X' runs + mismatch counts (align.cigar.finish_alignments_batch)
         if winners:
             wi = np.array([w[1] for w in winners], np.int64)
             rows = {kk: vv[wi] for kk, vv in ends.items()}
+            rows.update(sw_align_begins(
+                q[wi], ql[wi], r[wi], rl[wi], rows,
+                match=cfg.match_score, mismatch=cfg.mismatch_penalty,
+                gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
+                mask_len=cfg.mask_len))
+            _tick("begins(dev)")
             als = finish_alignments_batch(
                 q[wi], r[wi], ql[wi], rows,
                 match=cfg.match_score, mismatch=cfg.mismatch_penalty,
@@ -302,6 +342,7 @@ class SeedExtendAligner:
                     name=rd.name, seq=_as_str(rd.seq), qual=rd.qual,
                     aligned=True, strand=strand, ref_name=ref_name,
                     alignment=al)
+        _tick("finish")
         return results
 
     def align_fastq(self, fastq_path, out, cl: str = "align",

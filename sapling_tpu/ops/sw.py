@@ -164,12 +164,18 @@ def sw_pass(
 
 
 def sw_align_ends(query, qlen, ref, rlen, *, match=2, mismatch=2,
-                  gap_open=3, gap_extend=1, mask_len=15, use_pallas=None):
+                  gap_open=3, gap_extend=1, mask_len=15, use_pallas=None,
+                  forward_only=False):
     """Forward + reverse passes: full ssw_align endpoint semantics
     (reference: src/ssw.c:810-901) for a batch.
 
     Returns dict with score, score2, ref_end2, ref_begin, ref_end,
     read_begin, read_end (all int32 [B], genome-window coordinates).
+    With forward_only=True the reverse pass is skipped and the begin
+    fields are omitted — callers that select a winning subset first can
+    compute begins for just those rows via sw_align_begins (the reverse
+    pass is ~half the scoring FLOPs; winners are typically <<1% of
+    candidates in the aligner).
 
     The byte/word kernel split (ssw.c:835-841) changes only the SSE pad
     multiple: byte pads to 16 rows, word to 8. A lane reruns in word mode
@@ -228,6 +234,15 @@ def sw_align_ends(query, qlen, ref, rlen, *, match=2, mismatch=2,
         for k in fwd:
             fwd[k] = np.where(overflow, fw[k], fwd[k])
 
+    if forward_only:
+        return {
+            "score": fwd["score"][:b0],
+            "score2": fwd["score2"][:b0],
+            "ref_end2": fwd["ref_end2"][:b0],
+            "ref_end": fwd["ref_end"][:b0],
+            "read_end": fwd["read_end"][:b0],
+        }
+
     # reverse pass: reversed query prefix [0..read_end] vs reversed ref
     # prefix [0..ref_end], terminate at the forward score (ssw.c:860-875)
     q_end, r_end = fwd["read_end"], fwd["ref_end"]
@@ -255,6 +270,176 @@ def sw_align_ends(query, qlen, ref, rlen, *, match=2, mismatch=2,
         "ref_end2": fwd["ref_end2"][:b0],
         "ref_end": r_end[:b0],
         "read_end": q_end[:b0],
+        "ref_begin": (r_end - rev["ref_end"])[:b0],
+        "read_begin": (q_end - rev["read_end"])[:b0],
+    }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rmax", "match", "mismatch", "gap_open", "gap_extend",
+                     "mask_len", "pad_to", "second_inclusive", "use_pallas",
+                     "interpret"),
+)
+def _sw_fwd_from_genome(packed, codes_mat, cand_ei, qlen, w0, lo_mod, rlen,
+                        *, rmax, match, mismatch, gap_open, gap_extend,
+                        mask_len, pad_to, second_inclusive, use_pallas,
+                        interpret):
+    """Gather candidate windows ON DEVICE and run the forward SW pass in
+    one program: q rows from codes_mat, ref windows decoded from the
+    big-endian 2-bit packed genome (ops/pack.py pack_codes layout: base p
+    lives in word p>>4 at bit 30-2*(p&15)). Eliminates the host-side
+    window materialization and its [C, W+R] host->device transfer (was
+    25% of aligner block time; the packed genome is device-resident)."""
+    q = codes_mat[cand_ei].astype(jnp.int32)            # [C, WMAX]
+    col = jnp.arange(q.shape[1], dtype=jnp.int32)[None, :]
+    q = jnp.where(col < qlen[:, None], q, 0)
+
+    nw = rmax // 16 + 1
+    widx = jnp.minimum(
+        w0[:, None] + jnp.arange(nw, dtype=jnp.int32)[None, :],
+        jnp.int32(packed.shape[0] - 1))
+    wv = packed[widx]                                    # [C, nw] u32
+    bit = lo_mod[:, None] + jnp.arange(rmax, dtype=jnp.int32)[None, :]
+    wsel = bit >> 4                                      # word within wv
+    sh = (jnp.int32(30) - (bit & 15) * 2).astype(jnp.uint32)
+    wj = jnp.take_along_axis(wv, wsel, axis=1)
+    r = ((wj >> sh) & jnp.uint32(3)).astype(jnp.int32)   # [C, rmax]
+    jcol = jnp.arange(rmax, dtype=jnp.int32)[None, :]
+    r = jnp.where(jcol < rlen[:, None], r, 0)
+
+    term = jnp.full(q.shape[0], -1, jnp.int32)
+    kw = dict(match=match, mismatch=mismatch, gap_open=gap_open,
+              gap_extend=gap_extend, mask_len=mask_len)
+    if use_pallas:
+        from .sw_pallas import sw_pass_pallas
+        return sw_pass_pallas(q, qlen, r, rlen, term, pad_to=pad_to,
+                              second_inclusive=second_inclusive,
+                              interpret=interpret, **kw)
+    return sw_pass(q, qlen, r, rlen, term, pad_to=pad_to,
+                   second_inclusive=second_inclusive, **kw)
+
+
+def sw_align_ends_from_genome(packed, codes_mat, cand_ei, qlen, lo, rlen,
+                              *, match=2, mismatch=2, gap_open=3,
+                              gap_extend=1, mask_len=15, use_pallas=None):
+    """Forward-only sw_align_ends where ref windows come straight from the
+    device-resident packed genome (u32 words, >= rmax//16+1 pad words —
+    pack_codes' default build pads 16) instead of a host-built [C, R]
+    matrix. codes_mat is the [NE, WMAX] per-entry read-code matrix; each
+    candidate row is (cand_ei, qlen, lo, rlen): query = codes_mat[cand_ei]
+    [:qlen], ref window = genome[lo : lo+rlen]. Bit-identical to
+    sw_align_ends(forward_only=True) on the equivalent host-built windows
+    (tests/test_sw.py::test_from_genome_matches_host_windows)."""
+    import os
+
+    import jax as _jax
+    import numpy as np
+
+    on_tpu = _jax.default_backend() == "tpu"
+    if use_pallas is None:
+        env = os.environ.get("SAPLING_SW_PALLAS")
+        use_pallas = on_tpu if env is None else env == "1"
+
+    cand_ei = np.asarray(cand_ei, np.int32)
+    qlen = np.asarray(qlen, np.int32)
+    lo = np.asarray(lo, np.int64)
+    rlen = np.asarray(rlen, np.int32)
+    b0 = cand_ei.shape[0]
+    b = max(256, 1 << (b0 - 1).bit_length())
+    rmax = ((int(rlen.max()) if b0 else 1) + 31) // 32 * 32
+    cand_ei = np.pad(cand_ei, (0, b - b0))
+    qlen = np.pad(qlen, (0, b - b0), constant_values=1)
+    rlen = np.pad(rlen, (0, b - b0), constant_values=1)
+    lo = np.pad(lo, (0, b - b0))
+    # 64-bit genome positions split on host: word index + in-word offset
+    # both fit int32 at any genome scale (w0 < n/16 < 2^31 for n < 32 Gbp)
+    w0 = (lo >> 4).astype(np.int32)
+    lo_mod = (lo & 15).astype(np.int32)
+
+    kw = dict(rmax=rmax, match=match, mismatch=mismatch, gap_open=gap_open,
+              gap_extend=gap_extend, mask_len=mask_len,
+              use_pallas=use_pallas, interpret=not on_tpu)
+    fwd = {k: np.asarray(v) for k, v in
+           _sw_fwd_from_genome(packed, codes_mat, cand_ei, qlen, w0,
+                               lo_mod, rlen, pad_to=16,
+                               second_inclusive=False, **kw).items()}
+    overflow = fwd["score"] + mismatch >= 255
+    if overflow.any():
+        fw = {k: np.asarray(v) for k, v in
+              _sw_fwd_from_genome(packed, codes_mat, cand_ei, qlen, w0,
+                                  lo_mod, rlen, pad_to=8,
+                                  second_inclusive=True, **kw).items()}
+        for k in fwd:
+            fwd[k] = np.where(overflow, fw[k], fwd[k])
+    return {k: fwd[k][:b0] for k in
+            ("score", "score2", "ref_end2", "ref_end", "read_end")}
+
+
+def sw_align_begins(query, qlen, ref, rlen, fwd_rows, *, match=2,
+                    mismatch=2, gap_open=3, gap_extend=1, mask_len=15,
+                    use_pallas=None):
+    """The reverse pass of ssw_align (src/ssw.c:860-875) for rows whose
+    forward results are already known: reversed query prefix [0..read_end]
+    vs reversed ref prefix [0..ref_end], terminating at the forward score.
+
+    fwd_rows: dict with at least score / read_end / ref_end (int32 [B]),
+    as returned by sw_align_ends(forward_only=True), subset to these rows.
+    Returns {"ref_begin", "read_begin"} — bit-identical to the fields
+    sw_align_ends computes when run on the full batch (same kernel, same
+    byte/word overflow split keyed off the forward score).
+    """
+    import os
+
+    import jax
+    import numpy as np
+
+    on_tpu = jax.default_backend() == "tpu"
+    if use_pallas is None:
+        env = os.environ.get("SAPLING_SW_PALLAS")
+        use_pallas = on_tpu if env is None else env == "1"
+    if use_pallas:
+        from .sw_pallas import sw_pass_pallas
+        _pass = functools.partial(sw_pass_pallas, interpret=not on_tpu)
+    else:
+        _pass = sw_pass
+
+    query = np.asarray(query)
+    ref = np.asarray(ref)
+    b0, w0 = query.shape
+    r0 = ref.shape[1]
+    b = max(256, 1 << (b0 - 1).bit_length())
+    w = ((w0 + 127) // 128) * 128
+    r = ((r0 + 31) // 32) * 32
+    query = np.pad(query, ((0, b - b0), (0, w - w0)))
+    ref = np.pad(ref, ((0, b - b0), (0, r - r0)))
+    q_end = np.pad(np.asarray(fwd_rows["read_end"], np.int32), (0, b - b0))
+    r_end = np.pad(np.asarray(fwd_rows["ref_end"], np.int32), (0, b - b0))
+    score = np.pad(np.asarray(fwd_rows["score"], np.int32), (0, b - b0))
+    kw = dict(match=match, mismatch=mismatch, gap_open=gap_open,
+              gap_extend=gap_extend, mask_len=mask_len)
+
+    qlen_rev = (q_end + 1).astype(np.int32)
+    rlen_rev = (r_end + 1).astype(np.int32)
+    jr = np.arange(query.shape[1])[None, :]
+    ir = np.arange(ref.shape[1])[None, :]
+    qr_idx = np.clip(q_end[:, None] - jr, 0, None)
+    rr_idx = np.clip(r_end[:, None] - ir, 0, None)
+    q_rev = np.take_along_axis(query, qr_idx, axis=1)
+    r_rev = np.take_along_axis(ref, rr_idx, axis=1)
+
+    rev = {k: np.asarray(v) for k, v in
+           _pass(q_rev, qlen_rev, r_rev, rlen_rev, score, pad_to=16,
+                 **kw).items()}
+    overflow = score + mismatch >= 255
+    if overflow.any():
+        rv = {k: np.asarray(v) for k, v in
+              _pass(q_rev, qlen_rev, r_rev, rlen_rev, score, pad_to=8,
+                    second_inclusive=True, **kw).items()}
+        for k in rev:
+            rev[k] = np.where(overflow, rv[k], rev[k])
+
+    return {
         "ref_begin": (r_end - rev["ref_end"])[:b0],
         "read_begin": (q_end - rev["read_end"])[:b0],
     }

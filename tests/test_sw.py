@@ -283,3 +283,70 @@ def test_finish_batch_matches_single_row():
                 got.query_end) == (want.sw_score, want.ref_begin,
                                    want.ref_end, want.query_begin,
                                    want.query_end)
+
+
+def test_forward_only_plus_begins_matches_full():
+    """sw_align_ends(forward_only=True) + sw_align_begins on a row subset
+    is bit-identical to the corresponding rows of the one-shot
+    sw_align_ends (the aligner's deferred reverse-pass path)."""
+    from sapling_tpu.ops.sw import sw_align_begins
+
+    rng = np.random.default_rng(7)
+    cases = [
+        _rand_case(rng, int(rng.integers(5, 40)), int(rng.integers(10, 60)),
+                   related=bool(rng.integers(0, 2)))
+        for _ in range(64)
+    ]
+    q, ql, r, rl = _batchify(cases, 40, 60)
+    full = {k: np.asarray(v) for k, v in sw_align_ends(q, ql, r, rl).items()}
+    fwd = {k: np.asarray(v)
+           for k, v in sw_align_ends(q, ql, r, rl, forward_only=True).items()}
+    for key in ("score", "score2", "ref_end2", "ref_end", "read_end"):
+        np.testing.assert_array_equal(fwd[key], full[key])
+    sub = np.array([0, 3, 17, 31, 40, 63])  # arbitrary winner subset
+    rows = {k: v[sub] for k, v in fwd.items()}
+    beg = sw_align_begins(q[sub], ql[sub], r[sub], rl[sub], rows)
+    np.testing.assert_array_equal(beg["ref_begin"], full["ref_begin"][sub])
+    np.testing.assert_array_equal(beg["read_begin"], full["read_begin"][sub])
+
+
+def test_from_genome_matches_host_windows():
+    """sw_align_ends_from_genome (device-side window gather from the
+    packed genome) is bit-identical to forward-only sw_align_ends on the
+    equivalent host-built windows, including misaligned lo offsets and
+    windows clamped at the genome start."""
+    import jax.numpy as jnp
+
+    from sapling_tpu.ops.pack import pack_codes
+    from sapling_tpu.ops.sw import sw_align_ends_from_genome
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    genome = rng.integers(0, 4, n).astype(np.uint8)
+    packed = jnp.asarray(pack_codes(genome, pad_words=16))
+
+    ne, wmax = 12, 40
+    codes_mat = rng.integers(0, 4, (ne, wmax)).astype(np.uint8)
+    c = 70
+    cand_ei = rng.integers(0, ne, c).astype(np.int32)
+    ql = rng.integers(5, wmax + 1, c).astype(np.int32)
+    lo = rng.integers(0, n - 80, c).astype(np.int64)
+    lo[:8] = np.arange(8)          # exercise every in-word misalignment
+    rl = rng.integers(10, 70, c).astype(np.int32)
+    # make some candidates real matches so scores are nontrivial
+    for i in range(0, c, 3):
+        L = min(int(ql[i]), int(rl[i]))
+        codes_mat[cand_ei[i], :L] = genome[int(lo[i]) : int(lo[i]) + L]
+
+    out = sw_align_ends_from_genome(packed, codes_mat, cand_ei, ql, lo, rl)
+
+    # host-built windows, same candidate definition
+    q = codes_mat[cand_ei].astype(np.int8)
+    q[np.arange(wmax)[None, :] >= ql[:, None]] = 0
+    rmax = int(rl.max())
+    r = genome[np.minimum(lo[:, None] + np.arange(rmax), n - 1)].astype(np.int8)
+    r[np.arange(rmax)[None, :] >= rl[:, None]] = 0
+    want = sw_align_ends(q, ql, r, rl, forward_only=True)
+    for key in ("score", "score2", "ref_end2", "ref_end", "read_end"):
+        np.testing.assert_array_equal(np.asarray(out[key]),
+                                      np.asarray(want[key]), err_msg=key)

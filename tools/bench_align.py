@@ -59,6 +59,7 @@ def main(argv):
 
     # warm compiles on the first block
     aligner.align_block(reads[: min(block, n_reads)])
+    aligner.phase_seconds.clear()
     t0 = time.time()
     n_aligned = n_good = 0
     for lo in range(0, n_reads, block):
@@ -71,6 +72,11 @@ def main(argv):
     dt = time.time() - t0
     print(f"aligned {n_reads} reads in {dt:.2f}s -> {n_reads/dt:,.0f} reads/s")
     print(f"aligned: {n_aligned}/{n_reads}; within 10bp of truth: {n_good}")
+    tot = sum(aligner.phase_seconds.values()) or 1.0
+    print("phases: " + "  ".join(
+        f"{k}={v:.2f}s({100*v/tot:.0f}%)"
+        for k, v in sorted(aligner.phase_seconds.items(),
+                           key=lambda kv: -kv[1])))
     return 0
 
 
