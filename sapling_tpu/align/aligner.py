@@ -39,7 +39,8 @@ import numpy as np
 
 from ..config import AlignerConfig
 from ..ops import pack as packops
-from ..ops.sw import sw_align_begins, sw_align_ends
+from ..ops.sw import (sw_align_begins, sw_align_ends,
+                      sw_align_ends_from_genome)
 from .cigar import Alignment, finish_alignments_batch
 from .sam import sam_header, sam_record
 
@@ -96,6 +97,15 @@ class SeedExtendAligner:
         # observability hook bench_align prints; device phases include the
         # host-side materialization of their results)
         self.phase_seconds: dict[str, float] = {}
+        self._packed_dev = None
+
+    def _packed_device(self):
+        """Device-resident packed genome words for the fused window-gather
+        SW path (one device_put, reused across blocks)."""
+        if self._packed_dev is None:
+            import jax
+            self._packed_dev = jax.device_put(self.idx.packed)
+        return self._packed_dev
 
     def _count_hits(self, sa_pos: np.ndarray):
         """Vectorized countHitsLeft/Right (reference:
@@ -244,28 +254,40 @@ class SeedExtendAligner:
         cand_ei = eiA[rep]
         cand_left = lo
         if len(rep):
+            import os
             wmax = int(ln_c.max())
             rl = (hi - lo).astype(np.int32)
-            rmax = int(rl.max())
-            q = codes_mat[cand_ei, :wmax].astype(np.int8)
-            col = np.arange(wmax)[None, :]
-            q[col >= ln_c[:, None]] = 0                    # zero-pad tails
             ql = ln_c.astype(np.int32)
-            ridx = np.minimum(lo[:, None] + np.arange(rmax)[None, :],
-                              idx.n - 1)
-            r = idx.codes[ridx].astype(np.int8)
-            r[np.arange(rmax)[None, :] >= rl[:, None]] = 0
-            _tick("windows")
+            swkw = dict(match=cfg.match_score,
+                        mismatch=cfg.mismatch_penalty,
+                        gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
+                        mask_len=cfg.mask_len)
             # forward pass only: winner selection needs just the scores;
             # the reverse (begin-position) pass runs later on the <=1-per-
             # read winner rows via sw_align_begins — candidates outnumber
-            # winners ~50:1, so this halves the SW device work
-            ends = sw_align_ends(
-                q, ql, r, rl, match=cfg.match_score,
-                mismatch=cfg.mismatch_penalty, gap_open=cfg.gap_open,
-                gap_extend=cfg.gap_extend, mask_len=cfg.mask_len,
-                forward_only=True,
-            )
+            # winners ~50:1, so this halves the SW device work.
+            # Window gather happens ON DEVICE inside the same program
+            # (ref windows decoded from the resident packed genome, query
+            # rows gathered from codes_mat) — the host-built [C, W+R]
+            # matrices and their transfer were 25% of block time.
+            # SAPLING_SW_DEVWIN=0 reverts to the host-window path.
+            if os.environ.get("SAPLING_SW_DEVWIN", "1") == "1":
+                _tick("windows")
+                ends = sw_align_ends_from_genome(
+                    self._packed_device(), codes_mat[:, :wmax],
+                    cand_ei, ql, lo, rl, **swkw)
+            else:
+                rmax = int(rl.max())
+                q = codes_mat[cand_ei, :wmax].astype(np.int8)
+                col = np.arange(wmax)[None, :]
+                q[col >= ln_c[:, None]] = 0                # zero-pad tails
+                ridx = np.minimum(lo[:, None] + np.arange(rmax)[None, :],
+                                  idx.n - 1)
+                r = idx.codes[ridx].astype(np.int8)
+                r[np.arange(rmax)[None, :] >= rl[:, None]] = 0
+                _tick("windows")
+                ends = sw_align_ends(q, ql, r, rl, forward_only=True,
+                                     **swkw)
             # materialize device results ONCE: np.asarray on a device
             # array copies device->host every call, and the replay loop
             # below reads scores per (seed, offset) candidate
@@ -318,14 +340,25 @@ class SeedExtendAligner:
         if winners:
             wi = np.array([w[1] for w in winners], np.int64)
             rows = {kk: vv[wi] for kk, vv in ends.items()}
+            # winner-only host windows for the reverse pass + native
+            # traceback (identical content to rows wi of the full q/r
+            # matrices; the full matrices are never materialized on the
+            # device-window path)
+            qw = codes_mat[cand_ei[wi], :wmax].astype(np.int8)
+            qw[np.arange(wmax)[None, :] >= ql[wi][:, None]] = 0
+            rmax_w = int(rl[wi].max())
+            rw = idx.codes[np.minimum(
+                lo[wi][:, None] + np.arange(rmax_w)[None, :],
+                idx.n - 1)].astype(np.int8)
+            rw[np.arange(rmax_w)[None, :] >= rl[wi][:, None]] = 0
             rows.update(sw_align_begins(
-                q[wi], ql[wi], r[wi], rl[wi], rows,
+                qw, ql[wi], rw, rl[wi], rows,
                 match=cfg.match_score, mismatch=cfg.mismatch_penalty,
                 gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
                 mask_len=cfg.mask_len))
             _tick("begins(dev)")
             als = finish_alignments_batch(
-                q[wi], r[wi], ql[wi], rows,
+                qw, rw, ql[wi], rows,
                 match=cfg.match_score, mismatch=cfg.mismatch_penalty,
                 gap_open=cfg.gap_open, gap_extend=cfg.gap_extend)
             for (ri, _bi, strand, bleft), al in zip(winners, als):
