@@ -133,22 +133,44 @@ class SeedExtendAligner:
             _t[0] = now
 
         # encode both strands of every usable read (SSW translation; the
-        # seed path additionally requires uppercase ACGT, see _UPPER_ACGT)
-        entries = []     # (ri, strand, codes, seedable)
-        for ri, rd in enumerate(reads):
-            raw = rd.seq if isinstance(rd.seq, bytes) else rd.seq.encode()
-            seq = np.frombuffer(raw, dtype=np.uint8)
-            codes = _SSW_TRANS[seq]
-            if len(codes) < k:
-                results[ri] = AlignedRead(
-                    name=rd.name, seq=_as_str(rd.seq), qual=rd.qual,
-                    aligned=False)
-                continue
-            # reference revComp complements UPPERCASE ACGT only and leaves
-            # every other char untouched (src/align.cpp:241-256)
-            rc_raw = _COMP_CHAR[seq][::-1]
-            entries.append((ri, 0, codes, _UPPER_ACGT[seq]))
-            entries.append((ri, 1, _SSW_TRANS[rc_raw], _UPPER_ACGT[rc_raw]))
+        # seed path additionally requires uppercase ACGT, see _UPPER_ACGT),
+        # vectorized over the whole block: one byte matrix, table lookups
+        # and the per-row reversal as array ops (the per-read Python loop
+        # was the 'encode' phase's entire cost)
+        nr = len(reads)
+        raws = [rd.seq if isinstance(rd.seq, bytes) else rd.seq.encode()
+                for rd in reads]
+        lens_r = np.array([len(x) for x in raws], np.int64)
+        for ri in np.flatnonzero(lens_r < k):
+            rd = reads[ri]
+            results[ri] = AlignedRead(
+                name=rd.name, seq=_as_str(rd.seq), qual=rd.qual,
+                aligned=False)
+        rix = np.flatnonzero(lens_r >= k)
+        lenv = lens_r[rix]
+        lmax = int(lenv.max()) if len(rix) else 0
+        mat = np.zeros((nr, lmax), np.uint8)
+        if nr:
+            allmask = np.arange(lmax)[None, :] < lens_r[:, None]
+            mat[allmask] = np.frombuffer(b"".join(raws), np.uint8)
+        mat = mat[rix]
+        jj = np.arange(lmax)[None, :]
+        colmask = jj < lenv[:, None]
+        # reference revComp complements UPPERCASE ACGT only and leaves
+        # every other char untouched (src/align.cpp:241-256)
+        rc_raw = np.take_along_axis(
+            _COMP_CHAR[mat], np.clip(lenv[:, None] - 1 - jj, 0, None),
+            axis=1)
+        ne = 2 * len(rix)
+        codes_mat = np.zeros((ne, lmax), np.uint8)
+        codes_mat[0::2] = np.where(colmask, _SSW_TRANS[mat], 0)
+        codes_mat[1::2] = np.where(colmask, _SSW_TRANS[rc_raw], 0)
+        seedable_mat = np.zeros((ne, lmax), bool)
+        seedable_mat[0::2] = _UPPER_ACGT[mat] & colmask
+        seedable_mat[1::2] = _UPPER_ACGT[rc_raw] & colmask
+        lens = np.repeat(lenv, 2)
+        read_of_entry = np.repeat(rix, 2)
+        strand_of_entry = np.tile(np.array([0, 1], np.int64), len(rix))
 
         # --- phase 1: batched seed lookups ---------------------------------
         # Everything from here to the replay is vectorized over flat
@@ -156,15 +178,7 @@ class SeedExtendAligner:
         # per-candidate Python loops were ~65% of block wall time
         # (profiled on TPU, 8192-read blocks; the kernels are not the
         # aligner's bottleneck, the host loops are).
-        ne = len(entries)
         ns = cfg.num_seeds
-        lens = np.array([len(e[2]) for e in entries], np.int64)
-        lmax = int(lens.max()) if ne else 0
-        codes_mat = np.zeros((ne, lmax), np.uint8)
-        seedable_mat = np.zeros((ne, lmax), bool)
-        for ei, (_ri, _st, codes, seedable) in enumerate(entries):
-            codes_mat[ei, : lens[ei]] = codes
-            seedable_mat[ei, : lens[ei]] = seedable
         # seed offsets (reference: src/align.cpp:271-275): 0, last//(ns-1)*i,
         # last — batched over entries
         last = lens - k
@@ -238,8 +252,6 @@ class SeedExtendAligner:
         # alone (src/align.cpp:310-321). Scoring ineligible windows is pure
         # waste — on repeat-heavy genomes they are the bulk of the superset
         # (measured 79% of block time in SW before this pruning).
-        read_of_entry = np.array([e[0] for e in entries], np.int64)
-        nr = len(reads)
         if len(rep):
             yrows = np.unique(rep)
             y0 = np.full(nr, len(eiA), np.int64)
@@ -320,7 +332,6 @@ class SeedExtendAligner:
             win = np.full(nr, c, np.int64)
             bi = np.flatnonzero(is_best)
             np.minimum.at(win, cand_rd[bi], bi)
-            strand_of_entry = np.array([e[1] for e in entries], np.int64)
             for ri in np.flatnonzero(win < c):
                 w = int(win[ri])
                 winners.append((int(ri), w, int(strand_of_entry[cand_ei[w]]),
@@ -378,10 +389,49 @@ class SeedExtendAligner:
         _tick("finish")
         return results
 
+    def align_blocks(self, blocks, workers: int = 2):
+        """Pipeline align_block over an iterable of read blocks with a
+        small thread pool, yielding per-block result lists in input order.
+
+        Block i+1's device dispatches (seed query, forward SW) overlap
+        block i's host phases (hit counting, winner replay, native
+        traceback) — the phases alternate host/device, so two in-flight
+        blocks keep both sides busy. align_block is stateless w.r.t. the
+        read stream (the index is read-only); JAX dispatch and the native
+        batch calls are thread-safe. phase_seconds still accumulates but
+        phases from concurrent blocks overlap in wall time."""
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        # materialize lazy device state before threads race the init
+        self._packed_device()
+        self.idx.device_arrays()
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            pending = collections.deque()
+            for blk in blocks:
+                pending.append(ex.submit(self.align_block, blk))
+                while len(pending) > workers:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
+
     def align_fastq(self, fastq_path, out, cl: str = "align",
-                    block: int = 4096) -> None:
-        """Full FASTQ -> SAM pipeline (reference: src/align.cpp:193-224)."""
+                    block: int = 8192, workers: int = 2) -> None:
+        """Full FASTQ -> SAM pipeline (reference: src/align.cpp:193-224).
+        SAM records are written strictly in input-read order (byte parity
+        with the reference's serial stream) while blocks are aligned
+        through the align_blocks pipeline."""
         from ..io.fastq import read_fastq
+
+        def _blocks():
+            buf = []
+            for rd in read_fastq(fastq_path):
+                buf.append(rd)
+                if len(buf) >= block:
+                    yield buf
+                    buf = []
+            if buf:
+                yield buf
 
         close = False
         if isinstance(out, str):
@@ -389,15 +439,8 @@ class SeedExtendAligner:
             close = True
         try:
             out.write(sam_header(self.idx.chr_ends, cl))
-            buf = []
-            for rd in read_fastq(fastq_path):
-                buf.append(rd)
-                if len(buf) >= block:
-                    for ar in self.align_block(buf):
-                        out.write(ar.to_sam())
-                    buf = []
-            if buf:
-                for ar in self.align_block(buf):
+            for ars in self.align_blocks(_blocks(), workers=workers):
+                for ar in ars:
                     out.write(ar.to_sam())
         finally:
             if close:

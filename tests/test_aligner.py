@@ -214,3 +214,18 @@ def test_sam_byte_parity_repeat_heavy(ref_align_bin, tmp_path):
     diffs = [(i, a, b) for i, (a, b) in enumerate(zip(our_lines, ref_lines))
              if a != b and not a.startswith("@PG")]
     assert not diffs, f"{len(diffs)} differing lines; first: {diffs[0]}"
+
+
+def test_pipelined_blocks_preserve_order_and_bytes(corpus):
+    """align_fastq through the 2-worker align_blocks pipeline with many
+    small blocks emits byte-identical SAM to a single-block run — block
+    boundaries and thread overlap must not reorder or alter records."""
+    d = corpus["dir"]
+    idx = SaplingIndex.from_fasta(corpus["ref_fa"], IndexConfig(k=16))
+    aligner = SeedExtendAligner(idx, AlignerConfig())
+    one = os.path.join(d, "one_block.sam")
+    many = os.path.join(d, "many_blocks.sam")
+    aligner.align_fastq(corpus["fq"], one, cl="t", block=4096, workers=1)
+    aligner.align_fastq(corpus["fq"], many, cl="t", block=16, workers=3)
+    with open(one, "rb") as f1, open(many, "rb") as f2:
+        assert f1.read() == f2.read()

@@ -60,15 +60,18 @@ def main(argv):
     # warm compiles on the first block
     aligner.align_block(reads[: min(block, n_reads)])
     aligner.phase_seconds.clear()
+    workers = int(kv.get("workers", 2))
     t0 = time.time()
     n_aligned = n_good = 0
-    for lo in range(0, n_reads, block):
-        out = aligner.align_block(reads[lo : lo + block])
-        for i, ar in enumerate(out):
+    blocks = (reads[lo : lo + block] for lo in range(0, n_reads, block))
+    ri = 0
+    for out in aligner.align_blocks(blocks, workers=workers):
+        for ar in out:
             if ar.aligned:
                 n_aligned += 1
-                if abs((ar.alignment.ref_begin) - pos[lo + i]) <= 10:
+                if abs((ar.alignment.ref_begin) - pos[ri]) <= 10:
                     n_good += 1
+            ri += 1
     dt = time.time() - t0
     print(f"aligned {n_reads} reads in {dt:.2f}s -> {n_reads/dt:,.0f} reads/s")
     print(f"aligned: {n_aligned}/{n_reads}; within 10bp of truth: {n_good}")
