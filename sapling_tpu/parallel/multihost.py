@@ -73,8 +73,13 @@ def align_shard(index, fastq_shard: str, out_sam_body: str, cfg=None) -> None:
     aligner = SeedExtendAligner(index, cfg)
     with open(out_sam_body, "w") as f:
         buf = list(read_fastq(fastq_shard))
-        for ar in aligner.align_block(buf):
-            f.write(ar.to_sam())
+        # measured-optimal block size + 2-deep host/device pipeline
+        # (docs/PERFORMANCE.md "Aligner block anatomy"); in-order yield
+        # keeps shard bodies byte-deterministic
+        blocks = (buf[lo : lo + 8192] for lo in range(0, len(buf), 8192))
+        for ars in aligner.align_blocks(blocks):
+            for ar in ars:
+                f.write(ar.to_sam())
 
 
 def merge_sam(header: str, shard_bodies: list[str], out_path: str) -> None:
