@@ -40,7 +40,8 @@ import numpy as np
 from ..config import AlignerConfig
 from ..ops import pack as packops
 from ..ops.sw import (sw_align_begins, sw_align_ends,
-                      sw_align_ends_from_genome)
+                      sw_align_ends_from_genome,
+                      sw_align_winner_from_genome)
 from .cigar import Alignment, finish_alignments_batch
 from .sam import sam_header, sam_record
 
@@ -263,6 +264,7 @@ class SeedExtendAligner:
                 a[elig] for a in (rep, off, lo, hi, ln_c))
 
         ends = None
+        fused_win = None
         cand_ei = eiA[rep]
         cand_left = lo
         if len(rep):
@@ -274,16 +276,26 @@ class SeedExtendAligner:
                         mismatch=cfg.mismatch_penalty,
                         gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
                         mask_len=cfg.mask_len)
-            # forward pass only: winner selection needs just the scores;
-            # the reverse (begin-position) pass runs later on the <=1-per-
-            # read winner rows via sw_align_begins — candidates outnumber
-            # winners ~50:1, so this halves the SW device work.
-            # Window gather happens ON DEVICE inside the same program
-            # (ref windows decoded from the resident packed genome, query
-            # rows gathered from codes_mat) — the host-built [C, W+R]
-            # matrices and their transfer were 25% of block time.
-            # SAPLING_SW_DEVWIN=0 reverts to the host-window path.
-            if os.environ.get("SAPLING_SW_DEVWIN", "1") == "1":
+            # Default path: ONE device program per block — decode windows
+            # from the resident packed genome, forward-score every
+            # candidate, select each read's winner on device (segment
+            # max + first attaining row = the reference's strict-greater
+            # walk), and run the begin-position reverse pass on just the
+            # winner rows. Winner selection needs only the forward score,
+            # which is identical in byte/word SSW modes; overflowing
+            # winners get a host-side pad-8 fix-up below.
+            # SAPLING_ALIGN_FUSED=0 falls back to the 2-dispatch flow,
+            # SAPLING_SW_DEVWIN=0 to host-built windows.
+            devwin = os.environ.get("SAPLING_SW_DEVWIN", "1") == "1"
+            fused = devwin and (
+                os.environ.get("SAPLING_ALIGN_FUSED", "1") == "1")
+            if fused:
+                _tick("windows")
+                cand_rd_f = read_of_entry[eiA[rep]]
+                fused_win, ends = sw_align_winner_from_genome(
+                    self._packed_device(), codes_mat[:, :wmax],
+                    cand_ei, ql, lo, rl, cand_rd_f, nr, **swkw)
+            elif devwin:
                 _tick("windows")
                 ends = sw_align_ends_from_genome(
                     self._packed_device(), codes_mat[:, :wmax],
@@ -322,7 +334,13 @@ class SeedExtendAligner:
         #     row array contiguously: entries fwd,rc consecutive, seeds in
         #     sorted order, offsets ascending), so "first" = lowest row.
         winners = []  # (read_i, cand_i, strand, window_start)
-        if len(rep):
+        if fused_win is not None:
+            # winners came back from the fused device program
+            for ri in np.flatnonzero(fused_win < len(rep)):
+                w = int(fused_win[ri])
+                winners.append((int(ri), w, int(strand_of_entry[cand_ei[w]]),
+                                int(cand_left[w])))
+        elif len(rep):
             c = len(rep)
             cand_rd = read_of_entry[cand_ei]               # [C] ascending
             sc = np.asarray(ends["score"], np.int64)[:c]
@@ -350,7 +368,11 @@ class SeedExtendAligner:
         # '='/'X' runs + mismatch counts (align.cigar.finish_alignments_batch)
         if winners:
             wi = np.array([w[1] for w in winners], np.int64)
-            rows = {kk: vv[wi] for kk, vv in ends.items()}
+            if fused_win is not None:
+                ris = np.array([w[0] for w in winners], np.int64)
+                rows = {kk: vv[ris].copy() for kk, vv in ends.items()}
+            else:
+                rows = {kk: vv[wi] for kk, vv in ends.items()}
             # winner-only host windows for the reverse pass + native
             # traceback (identical content to rows wi of the full q/r
             # matrices; the full matrices are never materialized on the
@@ -362,11 +384,25 @@ class SeedExtendAligner:
                 lo[wi][:, None] + np.arange(rmax_w)[None, :],
                 idx.n - 1)].astype(np.int8)
             rw[np.arange(rmax_w)[None, :] >= rl[wi][:, None]] = 0
-            rows.update(sw_align_begins(
-                qw, ql[wi], rw, rl[wi], rows,
-                match=cfg.match_score, mismatch=cfg.mismatch_penalty,
-                gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
-                mask_len=cfg.mask_len))
+            if fused_win is not None:
+                # the fused program's fields use 16-row SSE pad semantics;
+                # winners whose score would overflow SSW's byte kernel
+                # (score+mismatch >= 255, ssw.c:835-841) take the word
+                # kernel's pad-8 fields — recompute those rare rows with
+                # the full host-window path (score itself is pad-exact,
+                # so winner IDENTITY is unaffected)
+                ovr = rows["score"] + cfg.mismatch_penalty >= 255
+                if ovr.any():
+                    full = sw_align_ends(qw[ovr], ql[wi][ovr], rw[ovr],
+                                         rl[wi][ovr], **swkw)
+                    for kk in rows:
+                        rows[kk][ovr] = np.asarray(full[kk])
+            else:
+                rows.update(sw_align_begins(
+                    qw, ql[wi], rw, rl[wi], rows,
+                    match=cfg.match_score, mismatch=cfg.mismatch_penalty,
+                    gap_open=cfg.gap_open, gap_extend=cfg.gap_extend,
+                    mask_len=cfg.mask_len))
             _tick("begins(dev)")
             als = finish_alignments_batch(
                 qw, rw, ql[wi], rows,

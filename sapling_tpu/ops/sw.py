@@ -41,6 +41,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NEG = jnp.int32(-(1 << 30))
 
@@ -275,22 +276,12 @@ def sw_align_ends(query, qlen, ref, rlen, *, match=2, mismatch=2,
     }
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("rmax", "match", "mismatch", "gap_open", "gap_extend",
-                     "mask_len", "pad_to", "second_inclusive", "use_pallas",
-                     "interpret"),
-)
-def _sw_fwd_from_genome(packed, codes_mat, cand_ei, qlen, w0, lo_mod, rlen,
-                        *, rmax, match, mismatch, gap_open, gap_extend,
-                        mask_len, pad_to, second_inclusive, use_pallas,
-                        interpret):
-    """Gather candidate windows ON DEVICE and run the forward SW pass in
-    one program: q rows from codes_mat, ref windows decoded from the
-    big-endian 2-bit packed genome (ops/pack.py pack_codes layout: base p
-    lives in word p>>4 at bit 30-2*(p&15)). Eliminates the host-side
-    window materialization and its [C, W+R] host->device transfer (was
-    25% of aligner block time; the packed genome is device-resident)."""
+def _decode_windows(packed, codes_mat, cand_ei, qlen, w0, lo_mod, rlen,
+                    rmax):
+    """Traced helper: materialize [C, WMAX] query rows (codes_mat gather,
+    tails zeroed) and [C, rmax] ref windows decoded from the big-endian
+    2-bit packed genome (ops/pack.py pack_codes layout: base p lives in
+    word p>>4 at bit 30-2*(p&15))."""
     q = codes_mat[cand_ei].astype(jnp.int32)            # [C, WMAX]
     col = jnp.arange(q.shape[1], dtype=jnp.int32)[None, :]
     q = jnp.where(col < qlen[:, None], q, 0)
@@ -307,7 +298,27 @@ def _sw_fwd_from_genome(packed, codes_mat, cand_ei, qlen, w0, lo_mod, rlen,
     r = ((wj >> sh) & jnp.uint32(3)).astype(jnp.int32)   # [C, rmax]
     jcol = jnp.arange(rmax, dtype=jnp.int32)[None, :]
     r = jnp.where(jcol < rlen[:, None], r, 0)
+    return q, r
 
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rmax", "match", "mismatch", "gap_open", "gap_extend",
+                     "mask_len", "pad_to", "second_inclusive", "use_pallas",
+                     "interpret"),
+)
+def _sw_fwd_from_genome(packed, codes_mat, cand_ei, qlen, w0, lo_mod, rlen,
+                        *, rmax, match, mismatch, gap_open, gap_extend,
+                        mask_len, pad_to, second_inclusive, use_pallas,
+                        interpret):
+    """Gather candidate windows ON DEVICE and run the forward SW pass in
+    one program: q rows from codes_mat, ref windows decoded from the
+    big-endian 2-bit packed genome (ops/pack.py pack_codes layout: base p
+    lives in word p>>4 at bit 30-2*(p&15)). Eliminates the host-side
+    window materialization and its [C, W+R] host->device transfer (was
+    25% of aligner block time; the packed genome is device-resident)."""
+    q, r = _decode_windows(packed, codes_mat, cand_ei, qlen, w0, lo_mod,
+                           rlen, rmax)
     term = jnp.full(q.shape[0], -1, jnp.int32)
     kw = dict(match=match, mismatch=mismatch, gap_open=gap_open,
               gap_extend=gap_extend, mask_len=mask_len)
@@ -374,6 +385,121 @@ def sw_align_ends_from_genome(packed, codes_mat, cand_ei, qlen, lo, rlen,
             fwd[k] = np.where(overflow, fw[k], fwd[k])
     return {k: fwd[k][:b0] for k in
             ("score", "score2", "ref_end2", "ref_end", "read_end")}
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nr", "rmax", "match", "mismatch", "gap_open",
+                     "gap_extend", "mask_len", "use_pallas", "interpret"),
+)
+def _sw_winner_from_genome(packed, codes_mat, cand_ei, qlen, w0, lo_mod,
+                           rlen, cand_rd, *, nr, rmax, match, mismatch,
+                           gap_open, gap_extend, mask_len, use_pallas,
+                           interpret):
+    """ONE program per aligner block: decode windows, forward-score all
+    candidates, select each read's winner (first row attaining the
+    per-read max — the reference's strict-greater serial walk), and run
+    the reverse (begin-position) pass on just the winner rows.
+
+    cand_rd: int32 [C] read id per candidate row, ascending (walk order);
+    pad rows carry read id nr. Returns (win, fields) where win[read] is
+    the winning candidate row (int32 max when the read has none) and
+    fields are per-READ winner endpoint arrays [nr].
+
+    Winner selection uses the 16-pad forward score, which is exact for
+    both SSW kernel modes (the byte/word split only changes SSE pad-row
+    semantics — score2/ref_end2 — never the global max; see sw_pass
+    docstring). Overflowing winners (score+mismatch >= 255) get their
+    pad-8 fields recomputed host-side by the caller."""
+    q, r = _decode_windows(packed, codes_mat, cand_ei, qlen, w0, lo_mod,
+                           rlen, rmax)
+    term = jnp.full(q.shape[0], -1, jnp.int32)
+    kw = dict(match=match, mismatch=mismatch, gap_open=gap_open,
+              gap_extend=gap_extend, mask_len=mask_len)
+    if use_pallas:
+        from .sw_pallas import sw_pass_pallas
+        _pass = functools.partial(sw_pass_pallas, interpret=interpret)
+    else:
+        _pass = sw_pass
+    fwd = _pass(q, qlen, r, rlen, term, pad_to=16, **kw)
+
+    c = q.shape[0]
+    sc = fwd["score"]
+    best = jax.ops.segment_max(sc, cand_rd, num_segments=nr + 1,
+                               indices_are_sorted=True)
+    rowid = jnp.arange(c, dtype=jnp.int32)
+    isb = sc == best[cand_rd]
+    # empty segments get int32 max (segment_min identity) = no winner
+    win = jax.ops.segment_min(
+        jnp.where(isb, rowid, jnp.int32(np.iinfo(np.int32).max)),
+        cand_rd, num_segments=nr + 1, indices_are_sorted=True)[:nr]
+    wv = jnp.clip(win, 0, c - 1)
+
+    out = {k: v[wv] for k, v in fwd.items()}
+    # reverse pass on the <= nr winner rows (ssw.c:860-875 semantics,
+    # same as sw_align_begins: reversed prefixes, terminate at score)
+    qw_, rw_ = q[wv], r[wv]
+    q_end, r_end = out["read_end"], out["ref_end"]
+    jr = jnp.arange(qw_.shape[1], dtype=jnp.int32)[None, :]
+    ir = jnp.arange(rw_.shape[1], dtype=jnp.int32)[None, :]
+    q_rev = jnp.take_along_axis(
+        qw_, jnp.clip(q_end[:, None] - jr, 0, None), axis=1)
+    r_rev = jnp.take_along_axis(
+        rw_, jnp.clip(r_end[:, None] - ir, 0, None), axis=1)
+    rev = _pass(q_rev, (q_end + 1).astype(jnp.int32), r_rev,
+                (r_end + 1).astype(jnp.int32), out["score"], pad_to=16,
+                **kw)
+    out["ref_begin"] = r_end - rev["ref_end"]
+    out["read_begin"] = q_end - rev["read_end"]
+    return win, out
+
+
+def sw_align_winner_from_genome(packed, codes_mat, cand_ei, qlen, lo, rlen,
+                                cand_rd, nr, *, match=2, mismatch=2,
+                                gap_open=3, gap_extend=1, mask_len=15,
+                                use_pallas=None):
+    """Host wrapper for the fused score+select+begins program: pads the
+    candidate axis to a power-of-two bucket (pad rows land in a dropped
+    segment) and nr to its own bucket, splits 64-bit genome positions
+    into int32 word/offset, and returns (win[:nr], fields[:nr]) as numpy.
+    win[read] < len(cand_ei) iff the read has a winner."""
+    import os
+
+    import jax as _jax
+
+    on_tpu = _jax.default_backend() == "tpu"
+    if use_pallas is None:
+        env = os.environ.get("SAPLING_SW_PALLAS")
+        use_pallas = on_tpu if env is None else env == "1"
+
+    cand_ei = np.asarray(cand_ei, np.int32)
+    qlen = np.asarray(qlen, np.int32)
+    lo = np.asarray(lo, np.int64)
+    rlen = np.asarray(rlen, np.int32)
+    cand_rd = np.asarray(cand_rd, np.int32)
+    b0 = cand_ei.shape[0]
+    b = max(256, 1 << (b0 - 1).bit_length())
+    nrp = max(256, 1 << (nr - 1).bit_length())
+    rmax = ((int(rlen.max()) if b0 else 1) + 31) // 32 * 32
+    cand_ei = np.pad(cand_ei, (0, b - b0))
+    qlen = np.pad(qlen, (0, b - b0), constant_values=1)
+    rlen = np.pad(rlen, (0, b - b0), constant_values=1)
+    lo = np.pad(lo, (0, b - b0))
+    cand_rd = np.pad(cand_rd, (0, b - b0), constant_values=nrp)
+    w0 = (lo >> 4).astype(np.int32)
+    lo_mod = (lo & 15).astype(np.int32)
+
+    win, out = _sw_winner_from_genome(
+        packed, codes_mat, cand_ei, qlen, w0, lo_mod, rlen, cand_rd,
+        nr=nrp, rmax=rmax, match=match, mismatch=mismatch,
+        gap_open=gap_open, gap_extend=gap_extend, mask_len=mask_len,
+        use_pallas=use_pallas, interpret=not on_tpu)
+    win = np.asarray(win)[:nr]
+    out = {k: np.asarray(v)[:nr] for k, v in out.items()}
+    # winners must be REAL rows: pad rows live in segment nrp (dropped),
+    # so any win >= b0 means "no winner"
+    win = np.where(win < b0, win, np.iinfo(np.int32).max)
+    return win, out
 
 
 def sw_align_begins(query, qlen, ref, rlen, fwd_rows, *, match=2,

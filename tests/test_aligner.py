@@ -229,3 +229,19 @@ def test_pipelined_blocks_preserve_order_and_bytes(corpus):
     aligner.align_fastq(corpus["fq"], many, cl="t", block=16, workers=3)
     with open(one, "rb") as f1, open(many, "rb") as f2:
         assert f1.read() == f2.read()
+
+
+def test_fused_winner_matches_two_dispatch(corpus, monkeypatch):
+    """The fused one-dispatch score+select+begins program emits SAM
+    byte-identical to the two-dispatch flow (separate forward SW, host
+    winner selection, winner-row reverse pass)."""
+    d = corpus["dir"]
+    idx = SaplingIndex.from_fasta(corpus["ref_fa"], IndexConfig(k=16))
+    aligner = SeedExtendAligner(idx, AlignerConfig())
+    fused = os.path.join(d, "fused.sam")
+    aligner.align_fastq(corpus["fq"], fused, cl="t")
+    monkeypatch.setenv("SAPLING_ALIGN_FUSED", "0")
+    two = os.path.join(d, "two_dispatch.sam")
+    aligner.align_fastq(corpus["fq"], two, cl="t")
+    with open(fused, "rb") as f1, open(two, "rb") as f2:
+        assert f1.read() == f2.read()
