@@ -36,20 +36,26 @@ def ref_align_bin():
     os.makedirs(BUILD, exist_ok=True)
     exe = os.path.join(BUILD, "align_fixed")
     if not os.path.exists(exe):
-        patched = os.path.join(BUILD, "align_fixed.cpp")
-        with open(os.path.join(REF_SRC, "align.cpp")) as f:
-            src = f.read()
-        src = src.replace("sapling->sa[ref_pos]", "sapling->lsa.inv[ref_pos]")
-        with open(patched, "w") as f:
-            f.write(src)
-        cmd = [
-            "g++", "-O2", "-std=c++11", "-msse4.1", "-o", exe, patched,
-            os.path.join(REF_SRC, "ssw_cpp.cpp"), os.path.join(REF_SRC, "ssw.c"),
-            "-I", REF_SRC,
-        ]
-        res = subprocess.run(cmd, capture_output=True, text=True)
-        if res.returncode != 0:
-            pytest.skip(f"reference align build failed: {res.stderr}")
+        # The patched oracle source is reference-derived; keep it OUTSIDE the
+        # repo tree (temp dir) — only the compiled oracle binary lands in
+        # tests/_build.
+        import tempfile
+
+        with tempfile.TemporaryDirectory(prefix="sapling_oracle_") as td:
+            patched = os.path.join(td, "align_fixed.cpp")
+            with open(os.path.join(REF_SRC, "align.cpp")) as f:
+                src = f.read()
+            src = src.replace("sapling->sa[ref_pos]", "sapling->lsa.inv[ref_pos]")
+            with open(patched, "w") as f:
+                f.write(src)
+            cmd = [
+                "g++", "-O2", "-std=c++11", "-msse4.1", "-o", exe, patched,
+                os.path.join(REF_SRC, "ssw_cpp.cpp"), os.path.join(REF_SRC, "ssw.c"),
+                "-I", REF_SRC,
+            ]
+            res = subprocess.run(cmd, capture_output=True, text=True)
+            if res.returncode != 0:
+                pytest.skip(f"reference align build failed: {res.stderr}")
     return exe
 
 
