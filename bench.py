@@ -112,11 +112,12 @@ def main():
                 n=idx.n, length=K, k=idx.k, buckets=idx.buckets,
                 most_over=t.most_over, most_under=t.most_under,
                 max_over=t.max_over, max_under=t.max_under,
-                # Bisect the escalated ~2% tail in a compacted 128k-lane
-                # batch: the full-width loop then only runs the shallow
-                # 'most'-window depth. Bit-identical results; measured
-                # 5.13M -> 6.33M q/s (cap sweep in docs/PERFORMANCE.md).
-                compact_escalate=True, compact_cap=1 << 17)
+                # Run EVERYTHING after the prediction probe in a
+                # compacted ~1.625M-lane batch (the prediction itself
+                # resolves ~70% of lanes at this scale): bit-identical
+                # results, measured 6.19M -> 9.66M q/s together with the
+                # 3-gather xhi-pair prediction (docs/PERFORMANCE.md).
+                compact_unresolved=True, compact_cap=13 << 17)
             return xx + out[0] * 0, out  # chain: iteration i+1 needs out_i
 
         _, out = jax.lax.fori_loop(

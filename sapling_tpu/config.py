@@ -50,6 +50,13 @@ class QueryConfig:
     # measured +23% at 4.6 Mbp and +125% at 230 Mbp (docs/PERFORMANCE.md).
     compact_escalate: bool = True
     compact_cap: int | None = None  # None = batch/8 (ops.query._compact_cap)
+    # Stronger compaction (fast3 path): run EVERYTHING after the
+    # prediction probe — edge probe, escalation, every bisect round — in
+    # a compacted batch drained by a while_loop (ops.query
+    # compact_unresolved). Bit-identical results. compact_cap then
+    # defaults to 3*batch/8 (sized to the unresolved fraction, not the
+    # escalated tail).
+    compact_unresolved: bool = False
 
 
 @dataclass

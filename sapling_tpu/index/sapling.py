@@ -377,6 +377,7 @@ class SaplingIndex:
             adaptive_bounds=qcfg.adaptive_bounds,
             compact_escalate=qcfg.compact_escalate,
             compact_cap=qcfg.compact_cap,
+            compact_unresolved=qcfg.compact_unresolved,
         )
         return np.asarray(out)
 

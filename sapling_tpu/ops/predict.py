@@ -186,37 +186,45 @@ def _parts_pred2(bucket, pred2, pred2_bits, kbits: int):
 
 
 def _endpoints_packed(bucket, xlist, ylist, need_hi: bool = True):
-    """Checkpoint gathers via one uint64 + one uint16 per endpoint.
+    """Checkpoint gathers via one uint64 per endpoint + ONE shared uint32.
 
     The int64 tables cost two u32 gather OPS per value under the
     X64-rewrite — 8 per prediction, measured as the single largest cost
     of a k=21 query (docs/PERFORMANCE.md; gather ops cost per-lane
     throughput regardless of masking, so any per-lane fallback scheme
-    loses). Deterministic repack: xy64[j] = (x_low32 << 32) | y and
-    xhi16[j] = x >> 32 — exact for every entry whenever y < 2^32
-    (n <= 4.3 Gbp) and x < 2^48 (k <= 24), i.e. 4 cheap gather ops, no
-    fallback. Reconstruction is exact int math — bit-identical
-    predictions. Built elementwise on device (tiny vs one gather round);
-    XLA hoists it out of query loops."""
+    loses). Deterministic repack: xy64[j] = (x_low32 << 32) | y, and the
+    x high bits of BOTH endpoints of bucket j ride one uint32
+    xhp[j] = (xhi16[j] << 16) | xhi16[j+1] — exact for every entry
+    whenever y < 2^32 (n <= 4.3 Gbp) and x < 2^48 (k <= 24), i.e. 3
+    cheap gather ops per prediction, no fallback. Reconstruction is
+    exact int math — bit-identical predictions. Built elementwise on
+    device (tiny vs one gather round); XLA hoists it out of query loops.
+    """
     xl64 = _as_i64(xlist, jnp)
     yl64 = _as_i64(ylist, jnp)
     xy = ((xl64.astype(jnp.uint64) << 32)
           | (yl64.astype(jnp.uint64) & jnp.uint64(0xFFFFFFFF)))
-    # k <= 16 (kbits <= 32): every x fits the xy64 low half — the high-bits
-    # gather is statically zero and skipped (2 gather ops per prediction)
-    xh = (xl64 >> 32).astype(jnp.uint16) if need_hi else None
 
-    def endpoint(j):
+    def endpoint(j, hi16):
         w = jnp.take(xy, j)
         pair = jax.lax.bitcast_convert_type(w, jnp.uint32)
         y32, x32 = pair[..., 0], pair[..., 1]
         x = x32.astype(jnp.int64)
-        if need_hi:
-            x = (jnp.take(xh, j).astype(jnp.int64) << 32) | x
+        if hi16 is not None:
+            x = (hi16.astype(jnp.int64) << 32) | x
         return x, y32.astype(jnp.int64)
 
-    xlo, ylo = endpoint(bucket)
-    xhi, yhi = endpoint(bucket + 1)
+    if need_hi:
+        xh = xl64 >> 32
+        xhp = ((xh[:-1] << 16) | xh[1:]).astype(jnp.uint32)
+        hp = jnp.take(xhp, bucket)
+        hi_lo, hi_hi = hp >> 16, hp & 0xFFFF
+    else:
+        # k <= 16 (kbits <= 32): every x fits the xy64 low half — the
+        # high-bits gather is statically zero and skipped (2 gather ops)
+        hi_lo = hi_hi = None
+    xlo, ylo = endpoint(bucket, hi_lo)
+    xhi, yhi = endpoint(bucket + 1, hi_hi)
     return xlo, xhi, ylo, yhi
 
 

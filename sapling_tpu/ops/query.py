@@ -522,7 +522,12 @@ def _compact_deep(resolved, lo, hi, width: int, cap: int):
     those extra trips cost cap-lane throughput instead."""
     b = resolved.shape[0]
     deep = ~resolved & ((hi - lo) > width)
-    idxs = jnp.nonzero(deep, size=cap, fill_value=b)[0]
+    # _compact_indices, not jnp.nonzero: nonzero's bool cumsum promotes
+    # to int64 under the package's global x64, and the resulting
+    # (u32,u32)-pair reduce-window wants a ~4B-byte scoped-VMEM buffer —
+    # fails to compile at 5M lanes on v5e (measured, flaky with program
+    # shape)
+    idxs = _compact_indices(deep, cap)
     valid = idxs < b
     return jnp.minimum(idxs, b - 1).astype(jnp.int32), valid, deep
 
@@ -552,6 +557,104 @@ def _lane_bounds(bounds, x, *, kbits: int, buckets: int, most_over: int,
     bo = (bw >> 16).astype(jnp.int32)
     bu = (bw & 0xFFFF).astype(jnp.int32)
     return jnp.minimum(bo, most_over), jnp.minimum(bu, most_under)
+
+
+def _compact_indices(mask, cap: int):
+    """First-`cap` indices of set lanes in `mask`, in order: [cap] int32,
+    fill = b for absent. Equivalent to jnp.nonzero(mask, size=cap,
+    fill_value=b)[0] but built from a BLOCKED cumsum (per-512-lane-row
+    scans + one tiny row-offset scan) plus one scatter: XLA's fused
+    lowering of a large-`size` nonzero wants the whole B-lane scan in
+    scoped VMEM and fails to compile at 5M lanes on v5e (measured);
+    the blocked form streams through HBM."""
+    b = mask.shape[0]
+    s = 512
+    pb = -(-b // s) * s
+    m = jnp.pad(mask, (0, pb - b)).reshape(-1, s).astype(jnp.int32)
+    intra = jnp.cumsum(m, axis=1)            # [G, 512] row scans
+    tot = intra[:, -1]
+    off = jnp.cumsum(tot) - tot              # [G] exclusive row offsets
+    tgt = (off[:, None] + intra - m).reshape(-1)[:b]  # exclusive prefix
+    lane = jnp.arange(b, dtype=jnp.int32)
+    sc = jnp.where(mask & (tgt < cap), tgt, cap).astype(jnp.int32)
+    return jnp.full(cap, b, jnp.int32).at[sc].set(lane, mode="drop")
+
+
+def _pack_pred_dir(pred, dir_right):
+    """Pack (pred, dir) into ONE gatherable value: dir rides in the sign
+    via bit-not (enc = ~pred when dir is set; pred >= 0 always). One
+    compaction gather instead of two — gather ops cost per-lane
+    throughput, so halving the per-lane state fetched during compaction
+    matters (docs/PERFORMANCE.md)."""
+    return jnp.where(dir_right, ~pred, pred)
+
+
+def _unpack_pred_dir(enc):
+    dir_right = enc < 0
+    return jnp.where(dir_right, ~enc, enc), dir_right
+
+
+def _fast3_refine(prefix3, q3c, pred, dir_right, active, *, length: int,
+                  n: int, most_over: int, most_under: int, max_over: int,
+                  max_under: int, idt, take, tail_cap: int):
+    """Phases A/B + bisect of the fast3 cascade on a COMPACTED lane batch.
+
+    Exact per-lane reference decision sequence (src/sapling_api.h:159-248
+    restricted to length <= k, where phase C is statically absent),
+    starting from the state after a non-matching prediction probe.
+    The escalated tail (lanes needing the max window) is nested-compacted
+    into a [tail_cap] sub-batch so the main bisect only runs the shallow
+    'most'-window depth. Returns (rank_res [-1 = not found], done):
+    lanes beyond the tail capacity come back done=False — the caller's
+    drained loop re-picks them (graceful overflow, identical decisions).
+    """
+    b = pred.shape[0]
+    probe = make_rank_probe3(prefix3, q3c, length=length, take=take)
+    pred_w = pred.astype(jnp.int64)
+    e_right = jnp.minimum(jnp.int64(n - 1), pred_w + most_over).astype(idt)
+    e_left = jnp.maximum(jnp.int64(0), pred_w - most_under).astype(idt)
+    rank_res = jnp.full(pred.shape, -1, idt)
+    # --- phase A: 'most' window edge ---
+    edge = jnp.where(dir_right, e_right, e_left)
+    pa = probe(jnp.where(active, edge, 0))
+    hit_a = active & pa.match
+    rank_res = jnp.where(hit_a, edge, rank_res)
+    resolved = ~active | hit_a
+    escalate = active & ~hit_a & jnp.where(dir_right, pa.smaller,
+                                           ~pa.match & ~pa.smaller)
+    lo = jnp.where(dir_right, pred, e_left)
+    hi = jnp.where(dir_right, e_right, pred)
+    # --- phase B + deep bisect, in a nested [tail_cap] sub-batch ---
+    cap2 = min(max(tail_cap, 1), b)
+    idxs = _compact_indices(escalate, cap2)
+    valid2 = idxs < b
+    idx2 = jnp.minimum(idxs, b - 1).astype(jnp.int32)
+    taken = jnp.zeros(b, bool).at[
+        jnp.where(valid2, idx2, jnp.int32(b))].set(True, mode="drop")
+    leftover = escalate & ~taken         # beyond capacity: retried by caller
+    pred_t = jnp.take(pred, idx2)
+    dir_t = jnp.take(dir_right, idx2)
+    predw_t = pred_t.astype(jnp.int64)
+    er_t = jnp.minimum(jnp.int64(n - 1), predw_t + most_over).astype(idt)
+    el_t = jnp.maximum(jnp.int64(0), predw_t - most_under).astype(idt)
+    br_t = jnp.minimum(jnp.int64(n - 1), predw_t + max_over + 1).astype(idt)
+    bl_t = jnp.maximum(jnp.int64(0), predw_t - max_under - 1).astype(idt)
+    probe_t = make_rank_probe3(prefix3, jnp.take(q3c, idx2, axis=0),
+                               length=length, take=take)
+    bedge_t = jnp.where(dir_t, br_t, bl_t)
+    pb = probe_t(jnp.where(valid2, bedge_t, 0))
+    hit_b = valid2 & pb.match
+    res_t = jnp.where(hit_b, bedge_t, jnp.full(bedge_t.shape, -1, idt))
+    lo_t = jnp.where(dir_t, er_t, bl_t)
+    hi_t = jnp.where(dir_t, br_t, el_t)
+    res_t, _ = _masked_rank_bisect(probe_t, lo_t, hi_t, res_t,
+                                   ~valid2 | hit_b)
+    rank_res, resolved = _scatter_back(rank_res, resolved, idx2, valid2,
+                                       res_t)
+    # --- main bisect: non-escalated lanes only (shallow 'most' depth) ---
+    rank_res, _ = _masked_rank_bisect(probe, lo, hi, rank_res,
+                                      resolved | escalate)
+    return rank_res, active & ~leftover
 
 
 def _masked_rank_bisect(probe_fn, lo, hi, rank_res, resolved):
@@ -587,7 +690,7 @@ def _plquery_fast3(rev, prefix3, q3, x, xlist, ylist, *, n, length, k,
                    buckets, most_over, most_under, max_over, max_under, idt,
                    take=take_rank, bounds=None, ptab=None, pred2=None,
                    pred2_bits=None, compact_escalate=False,
-                   compact_cap=None):
+                   compact_cap=None, compact_unresolved=False):
     """plQuery via 3-bit prefix probes: ONE 8-byte gather per probe round,
     suffix-array RANKS tracked throughout, a single rev gather at the end.
     Exact reference decision sequence; valid for length <= min(k, 21)
@@ -606,6 +709,74 @@ def _plquery_fast3(rev, prefix3, q3, x, xlist, ylist, *, n, length, k,
     resolved = p0.match
     rank_res = jnp.where(p0.match, pred, rank_res)
     dir_right = p0.smaller
+
+    if compact_unresolved and bounds is None:
+        # Everything after the prediction probe runs in ONE COMPACTED
+        # [cap] batch: a well-tuned index resolves most lanes at the
+        # prediction itself (~70% on the 4.6 Mbp headline), so the edge
+        # probe and every bisect round would otherwise pay full-batch
+        # gather-lane throughput for a minority of active lanes.
+        # Decision sequence per lane is identical — only the execution
+        # batch changes. Overflow (unresolved > cap, or the nested tail
+        # capacity inside _fast3_refine) falls through to a lax.cond-
+        # gated full-width pass — identical decisions, zero runtime cost
+        # when (as virtually always) the compacted trip covers everyone.
+        # The compaction must stay at TOP level: a nonzero inside a
+        # while_loop body wants its B-lane cumsum in scoped VMEM and
+        # fails to compile at 5M lanes (measured, v5e).
+        b = rank_res.shape[0]
+        cap = _compact_cap(b, compact_cap if compact_cap is not None
+                           else max(1024, (3 * b) >> 3))
+        tail_cap = max(256, cap >> 4)
+        # pred's sign bit is free (pred >= 0): dir rides as bit-not, so
+        # compaction fetches ONE per-lane state value. int32 pred needs
+        # headroom for ~pred; idt is int32 only when n < 2^31, which fits.
+        enc = _pack_pred_dir(pred, dir_right)
+        idxs = _compact_indices(~resolved, cap)
+        valid = idxs < b
+        idx32 = jnp.minimum(idxs, b - 1).astype(jnp.int32)
+        pred_c, dir_c = _unpack_pred_dir(jnp.take(enc, idx32))
+        res_c, done_c = _fast3_refine(
+            prefix3, jnp.take(q3, idx32, axis=0), pred_c, dir_c,
+            valid, length=length, n=n, most_over=most_over,
+            most_under=most_under, max_over=max_over,
+            max_under=max_under, idt=idt, take=take, tail_cap=tail_cap)
+        sc = jnp.where(valid & done_c, idx32, jnp.int32(b))
+        rank_res = rank_res.at[sc].set(res_c, mode="drop")
+        resolved = resolved.at[sc].set(True, mode="drop")
+
+        def fallback(st):
+            rank_res, resolved = st
+            active = ~resolved
+            edge_f = jnp.where(dir_right, e_right, e_left)
+            pa = probe(jnp.where(active, edge_f, 0))
+            hit_a = active & pa.match
+            rank_res = jnp.where(hit_a, edge_f, rank_res)
+            resolved = resolved | hit_a
+            esc = active & ~hit_a & jnp.where(dir_right, pa.smaller,
+                                              ~pa.match & ~pa.smaller)
+            lo = jnp.where(dir_right, pred, e_left)
+            hi = jnp.where(dir_right, e_right, pred)
+            br = jnp.minimum(jnp.int64(n - 1),
+                             pred_w + max_over + 1).astype(idt)
+            bl = jnp.maximum(jnp.int64(0),
+                             pred_w - max_under - 1).astype(idt)
+            bedge_f = jnp.where(dir_right, br, bl)
+            pb = probe(jnp.where(esc, bedge_f, 0))
+            hit_b = esc & pb.match
+            rank_res = jnp.where(hit_b, bedge_f, rank_res)
+            resolved = resolved | hit_b
+            lo = jnp.where(esc, jnp.where(dir_right, e_right, bl), lo)
+            hi = jnp.where(esc, jnp.where(dir_right, br, e_left), hi)
+            rank_res, resolved = _masked_rank_bisect(probe, lo, hi,
+                                                     rank_res, resolved)
+            return rank_res, resolved
+
+        rank_res, resolved = jax.lax.cond(
+            ~resolved.all(), fallback, lambda st: st, (rank_res, resolved))
+        found = rank_res >= 0
+        pos = take(rev, jnp.where(found, rank_res, 0)).astype(idt)
+        return jnp.where(found, pos, neg1)
 
     if bounds is not None:
         # adaptive pre-phase: this bucket's own max-error window. Present
@@ -678,7 +849,7 @@ def _plquery_fast3(rev, prefix3, q3, x, xlist, ylist, *, n, length, k,
         "n", "length", "k", "buckets", "most_over", "most_under",
         "max_over", "max_under", "max_stride_steps", "window_scan",
         "multiprobe", "shard_spec", "adaptive_bounds", "pred2_bits",
-        "compact_escalate", "compact_cap",
+        "compact_escalate", "compact_cap", "compact_unresolved",
     ),
 )
 def plquery_batch(
@@ -693,6 +864,7 @@ def plquery_batch(
     adaptive_bounds: bool = False,
     compact_escalate: bool = False,
     compact_cap: int | None = None,
+    compact_unresolved: bool = False,
 ):
     """Batched Sapling::plQuery (reference: src/sapling_api.h:159-248).
 
@@ -724,6 +896,16 @@ def plquery_batch(
     bit-identical; only the batch a deep lane's probes execute in
     changes. Overflow beyond cap stays in the full-width loop (correct,
     slower). See _compact_deep for the cost model.
+
+    compact_unresolved (fast3 path only): stronger form — EVERYTHING
+    after the prediction probe (edge probe, max-window escalation, all
+    bisect rounds) runs in a compacted [compact_cap] batch drained by a
+    while_loop; the escalated tail nests into a second compaction level
+    inside it. Bit-identical decision sequence; overflow re-drains
+    (never falls back to full-width phases). Subsumes compact_escalate
+    when the fast3 path is taken. compact_cap defaults to 3B/8 here (the
+    unresolved fraction is the ~(1 - prediction hit rate), much larger
+    than the escalated tail).
     """
     idt = _state_dtype(_rev_dtype(rev))
     take = make_take(shard_spec)
@@ -744,7 +926,8 @@ def plquery_batch(
             buckets=buckets, most_over=most_over, most_under=most_under,
             max_over=max_over, max_under=max_under, idt=idt, take=take,
             bounds=ab, ptab=ptab, pred2=pred2, pred2_bits=pred2_bits,
-            compact_escalate=compact_escalate, compact_cap=compact_cap)
+            compact_escalate=compact_escalate, compact_cap=compact_cap,
+            compact_unresolved=compact_unresolved)
     probe_rank = make_rank_probe(packed, rev, prefix, q_words,
                                  n=n, length=length, idt=idt, take=take)
     pred64 = predict_pwl(x, xlist, ylist, 2 * k, buckets, n, ptab=ptab,

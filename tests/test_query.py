@@ -550,6 +550,31 @@ def test_compact_escalate_bit_parity():
                 got, base, err_msg=f"length={length} cap={cap}")
 
 
+def test_compact_unresolved_bit_parity():
+    """compact_unresolved runs every post-prediction-probe phase in a
+    compacted drained batch (nested tail compaction inside); positions
+    must be BIT-IDENTICAL to the default engine — including under a tiny
+    forced cap whose drain loop takes many trips and whose nested tail
+    capacity overflows (overflow lanes are re-drained, same decisions)."""
+    from sapling_tpu.config import QueryConfig
+
+    seq = np.concatenate([repeat_genome(3000, period=48, seed=83),
+                          gc_biased_genome(27_000, seed=84)])
+    idx = SaplingIndex.build(
+        Genome(seq=seq, chr_ends=[(len(seq), "sim")]),
+        IndexConfig(k=21, buckets=9))
+    for length in (11, 21):      # both fast3 shapes (the only path)
+        q = _sample_queries(seq, 600, length, seed=71 + length)
+        codes = packops.encode_bases(q)
+        base = idx.query_positions(codes)
+        for cap in (None, 8):    # auto 3B/8; tiny cap forcing many trips
+            got = idx.query_positions(
+                codes, QueryConfig(compact_unresolved=True,
+                                   compact_cap=cap))
+            np.testing.assert_array_equal(
+                got, base, err_msg=f"length={length} cap={cap}")
+
+
 def test_count_hits_vs_reference_loop():
     """SaplingIndex.count_hits replicates the reference countHitsLeft/
     countHitsRight scalar walks (src/sapling_api.h:254-303) — except the
