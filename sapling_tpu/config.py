@@ -52,10 +52,10 @@ class QueryConfig:
     compact_cap: int | None = None  # None = batch/8 (ops.query._compact_cap)
     # Stronger compaction (fast3 path): run EVERYTHING after the
     # prediction probe — edge probe, escalation, every bisect round — in
-    # a compacted batch drained by a while_loop (ops.query
-    # compact_unresolved). Bit-identical results. compact_cap then
-    # defaults to 3*batch/8 (sized to the unresolved fraction, not the
-    # escalated tail).
+    # a compacted batch (ops.query compact_unresolved). Bit-identical
+    # results. compact_cap then defaults to batch/2 — size it >= the
+    # unresolved fraction after the prediction probe, with margin
+    # (overflow stays correct but pays a full-width fallback).
     compact_unresolved: bool = False
 
 

@@ -726,7 +726,7 @@ def _plquery_fast3(rev, prefix3, q3, x, xlist, ylist, *, n, length, k,
         # fails to compile at 5M lanes (measured, v5e).
         b = rank_res.shape[0]
         cap = _compact_cap(b, compact_cap if compact_cap is not None
-                           else max(1024, (3 * b) >> 3))
+                           else max(1024, b >> 1))
         tail_cap = max(256, cap >> 4)
         # pred's sign bit is free (pred >= 0): dir rides as bit-not, so
         # compaction fetches ONE per-lane state value. int32 pred needs
@@ -843,6 +843,122 @@ def _plquery_fast3(rev, prefix3, q3, x, xlist, ylist, *, n, length, k,
     return jnp.where(found, pos, neg1)
 
 
+def _general_refine(make_probe, qw_sub, pred, dir_right, active, *, n: int,
+                    length: int, k: int, most_over: int, most_under: int,
+                    max_over: int, max_under: int, max_stride_steps: int,
+                    idt, tail_cap: int | None = None):
+    """Phases A/B/C/D of the general (position-typed) cascade on a lane
+    batch — the exact reference decision sequence (src/sapling_api.h:
+    159-248) starting after a non-matching prediction probe.
+
+    make_probe(q_words) builds a rank->(pos, Probe) closure for a lane
+    subset (the index-side arrays ride its captures; only the per-lane
+    packed queries need sub-batching). With tail_cap set, the escalated
+    lanes run phases B/C and their deep bisect in a nested [tail_cap]
+    sub-batch; overflow lanes return done=False for the caller to retry
+    (the compact_unresolved fallback). With tail_cap=None everything is
+    inline masked — full current-batch width, always done.
+
+    Returns (res positions [-1 = not found; only ACTIVE lanes
+    meaningful], done bool)."""
+    probe_rank = make_probe(qw_sub)
+    pred_w = pred.astype(jnp.int64)
+    e_right = jnp.minimum(jnp.int64(n - 1), pred_w + most_over).astype(idt)
+    e_left = jnp.maximum(jnp.int64(0), pred_w - most_under).astype(idt)
+    res = jnp.full(pred.shape, -1, dtype=idt)
+    # --- phase A: 'most' window edge ---
+    edge = jnp.where(dir_right, e_right, e_left)
+    edge_idx, pa = probe_rank(jnp.where(active, edge, 0))
+    hit_a = active & pa.match
+    res = jnp.where(hit_a, edge_idx, res)
+    resolved = ~active | hit_a
+    escalate = active & ~hit_a & jnp.where(dir_right, pa.smaller,
+                                           ~pa.match & ~pa.smaller)
+    lo = jnp.where(dir_right, pred, e_left)
+    hi = jnp.where(dir_right, e_right, pred)
+
+    def bcd(probe_fn, pred, dir_right, esc, res, resolved, lo, hi):
+        """Phases B (max edge), C (stride scan, length > k only) and D
+        (masked bisect over every unresolved lane of this batch)."""
+        pred_w = pred.astype(jnp.int64)
+        b_right = jnp.minimum(jnp.int64(n - 1),
+                              pred_w + max_over + 1).astype(idt)
+        b_left = jnp.maximum(jnp.int64(0),
+                             pred_w - max_under - 1).astype(idt)
+        bedge = jnp.where(dir_right, b_right, b_left)
+        bidx, pb = probe_fn(jnp.where(esc, bedge, 0))
+        hit_b = esc & pb.match
+        res = jnp.where(hit_b, bidx, res)
+        resolved = resolved | hit_b
+        er = jnp.minimum(jnp.int64(n - 1), pred_w + most_over).astype(idt)
+        el = jnp.maximum(jnp.int64(0), pred_w - most_under).astype(idt)
+        lo = jnp.where(esc, jnp.where(dir_right, er, b_left), lo)
+        hi = jnp.where(esc, jnp.where(dir_right, b_right, el), hi)
+        if length > k:
+            scan_r = pb.smaller & ~pb.off_end
+            scan_l = ~pb.match & ~pb.smaller
+            active0 = esc & ~resolved & jnp.where(dir_right, scan_r,
+                                                  scan_l)
+
+            def c_cond(state):
+                t, act, *_ = state
+                return (t < max_stride_steps) & act.any()
+
+            def c_body(state):
+                t, act, lo, hi, res, resolved = state
+                new_lo = jnp.where(dir_right, hi, lo)
+                step_hi = jnp.minimum(
+                    jnp.int64(n - 1), hi.astype(jnp.int64) + max_over
+                ).astype(idt)
+                step_lo = jnp.maximum(
+                    jnp.int64(0), lo.astype(jnp.int64) - max_under
+                ).astype(idt)
+                new_hi = jnp.where(dir_right, step_hi, lo)
+                new_lo = jnp.where(dir_right, new_lo, step_lo)
+                probe_pos = jnp.where(dir_right, new_hi, new_lo)
+                stuck = probe_pos == jnp.where(dir_right, hi, lo)
+                lo = jnp.where(act, new_lo, lo)
+                hi = jnp.where(act, new_hi, hi)
+                pidx, pc = probe_fn(jnp.where(act, probe_pos, 0))
+                hit = act & pc.match
+                res = jnp.where(hit, pidx, res)
+                resolved = resolved | hit
+                keep = jnp.where(dir_right, pc.smaller & ~pc.off_end,
+                                 ~pc.match & ~pc.smaller)
+                act = act & ~hit & keep & ~stuck
+                return t + 1, act, lo, hi, res, resolved
+
+            _, _, lo, hi, res, resolved = jax.lax.while_loop(
+                c_cond, c_body,
+                (jnp.int32(0), active0, lo, hi, res, resolved))
+        return _masked_binary_search(probe_fn, lo, hi, res, resolved)
+
+    if tail_cap is None:
+        res, _ = bcd(probe_rank, pred, dir_right, escalate, res, resolved,
+                     lo, hi)
+        return res, active
+    # --- nested tail: phases B/C + deep bisect at [tail_cap] ---
+    b = pred.shape[0]
+    cap2 = min(max(tail_cap, 1), b)
+    idxs = _compact_indices(escalate, cap2)
+    valid2 = idxs < b
+    idx2 = jnp.minimum(idxs, b - 1).astype(jnp.int32)
+    taken = jnp.zeros(b, bool).at[
+        jnp.where(valid2, idx2, jnp.int32(b))].set(True, mode="drop")
+    leftover = escalate & ~taken
+    pred_t = jnp.take(pred, idx2)
+    dir_t = jnp.take(dir_right, idx2)
+    probe_t = make_probe(jnp.take(qw_sub, idx2, axis=1))
+    res_t = jnp.full(pred_t.shape, -1, dtype=idt)
+    z = jnp.zeros_like(pred_t)
+    res_t, _ = bcd(probe_t, pred_t, dir_t, valid2, res_t, ~valid2, z, z)
+    res, resolved = _scatter_back(res, resolved, idx2, valid2, res_t)
+    # main bisect: non-escalated unresolved lanes (shallow 'most' depth)
+    res, _ = _masked_binary_search(probe_rank, lo, hi, res,
+                                   resolved | escalate)
+    return res, active & ~leftover
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -903,9 +1019,11 @@ def plquery_batch(
     while_loop; the escalated tail nests into a second compaction level
     inside it. Bit-identical decision sequence; overflow re-drains
     (never falls back to full-width phases). Subsumes compact_escalate
-    when the fast3 path is taken. compact_cap defaults to 3B/8 here (the
-    unresolved fraction is the ~(1 - prediction hit rate), much larger
-    than the escalated tail).
+    when the fast3 path is taken. compact_cap defaults to B/2 here —
+    size it >= the unresolved fraction (1 - prediction-probe hit rate:
+    measured 29% at 4.6 Mbp nb=22, 47% at 230 Mbp nb=26) with margin;
+    a too-small cap stays CORRECT but pays the full-width fallback
+    every launch (measured 0.64x at 230 Mbp with a 37.5% cap).
     """
     idt = _state_dtype(_rev_dtype(rev))
     take = make_take(shard_spec)
@@ -1038,6 +1156,51 @@ def plquery_batch(
         resolved = p0.match
         res = jnp.where(p0.match, idx0, res)
         dir_right = p0.smaller  # suffix at pred < query -> search right
+
+        if compact_unresolved and ab is None:
+            # see _plquery_fast3: one top-level compaction after the
+            # prediction probe moves phases A-D into a [cap] batch;
+            # lax.cond-gated full-width fallback covers cap/tail overflow
+            b = res.shape[0]
+            cap = _compact_cap(b, compact_cap if compact_cap is not None
+                               else max(1024, b >> 1))
+            enc = _pack_pred_dir(pred, dir_right)
+            idxs = _compact_indices(~resolved, cap)
+            valid = idxs < b
+            idx32 = jnp.minimum(idxs, b - 1).astype(jnp.int32)
+            pred_c, dir_c = _unpack_pred_dir(jnp.take(enc, idx32))
+
+            def mk_probe(qw):
+                return make_rank_probe(packed, rev, prefix, qw, n=n,
+                                       length=length, idt=idt, take=take)
+
+            res_c, done_c = _general_refine(
+                mk_probe, jnp.take(q_words, idx32, axis=1), pred_c,
+                dir_c, valid, n=n, length=length, k=k,
+                most_over=most_over, most_under=most_under,
+                max_over=max_over, max_under=max_under,
+                max_stride_steps=max_stride_steps, idt=idt,
+                tail_cap=max(256, cap >> 4))
+            sc = jnp.where(valid & done_c, idx32, jnp.int32(b))
+            res = res.at[sc].set(res_c, mode="drop")
+            resolved = resolved.at[sc].set(True, mode="drop")
+
+            def fb(st):
+                res, resolved = st
+                pend = ~resolved
+                res_f, _ = _general_refine(
+                    mk_probe, q_words, pred, dir_right, pend, n=n,
+                    length=length, k=k, most_over=most_over,
+                    most_under=most_under, max_over=max_over,
+                    max_under=max_under,
+                    max_stride_steps=max_stride_steps, idt=idt,
+                    tail_cap=None)
+                return (jnp.where(pend, res_f, res),
+                        jnp.ones_like(resolved))
+
+            res, _ = jax.lax.cond(~resolved.all(), fb, lambda st: st,
+                                  (res, resolved))
+            return res
 
         if ab is not None:
             # adaptive pre-phase: this bucket's own max-error window

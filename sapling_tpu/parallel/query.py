@@ -77,6 +77,9 @@ class ShardedQueryEngine:
             return self._fns[key]
         idx = self.index
         t = idx.table
+        # compact_unresolved/compact_escalate below run per-shard: each dp
+        # shard compacts its own unresolved lanes locally (a GSPMD-global
+        # compaction would force a cross-device gather)
         names = ["packed", "rev", "q_words", "x"]
         specs = [P(), P(), P(None, "dp"), P("dp")]
         for nm in ("xlist", "ylist", "prefix", "pred2"):
@@ -98,7 +101,7 @@ class ShardedQueryEngine:
                 most_over=t.most_over, most_under=t.most_under,
                 max_over=t.max_over, max_under=t.max_under,
                 max_stride_steps=max_stride_steps,
-                compact_escalate=True)
+                compact_escalate=True, compact_unresolved=True)
 
         fn = jax.jit(jax.shard_map(
             shard_fn, mesh=self.mesh,

@@ -180,11 +180,14 @@ class IndexShardedEngine:
                 max_over=t.max_over, max_under=t.max_under,
                 max_stride_steps=max_stride_steps, shard_spec=spec,
                 adaptive_bounds=adaptive_bounds,
-                # tail compaction composes with index sharding: probe
-                # outcomes are psum'd, hence identical on every idx shard,
-                # so the compacted loop's trip counts stay uniform and the
-                # per-round psums line up
-                compact_escalate=True)
+                # compaction composes with index sharding: probe outcomes
+                # are psum'd, hence identical on every idx shard, so the
+                # compacted masks/indices stay uniform and the per-round
+                # psums line up (compact_unresolved's cond-gated fallback
+                # is likewise uniform: its predicate derives from psum'd
+                # probe results)
+                compact_escalate=True,
+                compact_unresolved=not adaptive_bounds)
 
         fn = jax.jit(jax.shard_map(
             shard_fn, mesh=self.mesh,

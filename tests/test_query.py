@@ -550,6 +550,29 @@ def test_compact_escalate_bit_parity():
                 got, base, err_msg=f"length={length} cap={cap}")
 
 
+def test_compact_indices_matches_nonzero():
+    """_compact_indices (blocked int32 scan; replaces jnp.nonzero, whose
+    bool cumsum promotes to int64 under global x64 and fails to compile
+    at 5M lanes — docs/PERFORMANCE.md) must agree with np.nonzero
+    first-cap semantics at every size/cap corner."""
+    import jax
+
+    from sapling_tpu.ops.query import _compact_indices
+
+    rng = np.random.default_rng(5)
+    for b in (1, 7, 511, 512, 513, 5000):
+        for frac in (0.0, 0.1, 0.9, 1.0):
+            mask = rng.random(b) < frac
+            for cap in (1, 8, max(1, b // 2), b):
+                got = np.asarray(jax.jit(
+                    lambda m: _compact_indices(m, cap))(mask))
+                want = np.full(cap, b, np.int32)
+                nz = np.flatnonzero(mask)[:cap]
+                want[: len(nz)] = nz
+                np.testing.assert_array_equal(
+                    got, want, err_msg=f"b={b} frac={frac} cap={cap}")
+
+
 def test_compact_unresolved_bit_parity():
     """compact_unresolved runs every post-prediction-probe phase in a
     compacted drained batch (nested tail compaction inside); positions
@@ -563,11 +586,13 @@ def test_compact_unresolved_bit_parity():
     idx = SaplingIndex.build(
         Genome(seq=seq, chr_ends=[(len(seq), "sim")]),
         IndexConfig(k=21, buckets=9))
-    for length in (11, 21):      # both fast3 shapes (the only path)
+    # 11/21: fast3 path; 33: packed-probe general path; 45 > k: general
+    # path including the phase C stride scan inside the refine
+    for length in (11, 21, 33, 45):
         q = _sample_queries(seq, 600, length, seed=71 + length)
         codes = packops.encode_bases(q)
         base = idx.query_positions(codes)
-        for cap in (None, 8):    # auto 3B/8; tiny cap forcing many trips
+        for cap in (None, 8):    # auto 3B/8; tiny cap forcing overflow
             got = idx.query_positions(
                 codes, QueryConfig(compact_unresolved=True,
                                    compact_cap=cap))

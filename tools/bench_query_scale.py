@@ -40,6 +40,7 @@ def main(argv):
     iters = int(kv.get("iters", 10))
     adaptive = bool(int(kv.get("adaptive", 0)))
     compact = bool(int(kv.get("compact", 0)))
+    compact_u = bool(int(kv.get("compact_u", 0)))
     cap = int(kv["cap"]) if "cap" in kv else None
 
     t0 = time.time()
@@ -82,7 +83,7 @@ def main(argv):
                 most_over=t.most_over, most_under=t.most_under,
                 max_over=t.max_over, max_under=t.max_under,
                 adaptive_bounds=adaptive, compact_escalate=compact,
-                compact_cap=cap)
+                compact_cap=cap, compact_unresolved=compact_u)
             return xx + out[0] * 0, out
 
         return jax.lax.fori_loop(
@@ -98,8 +99,8 @@ def main(argv):
     sample = min(nq, 200_000)
     ok = int(idx.verify_hits(codes2d[:sample], pos[:sample]).sum())
     print(f"plquery qLen={qlen}: {nq/dt:,.0f} q/s "
-          f"(fast3={use3}, adaptive={adaptive}, compact={compact}); "
-          f"self-check {ok}/{sample}")
+          f"(fast3={use3}, adaptive={adaptive}, compact={compact}, "
+          f"compact_u={compact_u}); self-check {ok}/{sample}")
     if ok != sample:
         raise SystemExit("self-check FAILED")
     return 0
