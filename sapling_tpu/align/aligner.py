@@ -108,6 +108,21 @@ class SeedExtendAligner:
             self._packed_dev = jax.device_put(self.idx.packed)
         return self._packed_dev
 
+    def _seed_qcfg(self):
+        """QueryConfig for the seed lookups. compact_unresolved measured
+        SLOWER here (0.80 -> 1.29 s of query time per 32k reads, 20 Mbp
+        k=16 index): seed batches are small (~115k lanes) so the
+        compaction scan/scatter overhead isn't amortized, and the k=16
+        index's dense buckets (~38 suffixes each) give a low
+        prediction-probe hit rate — the win scales with resolved
+        fraction x batch size. SAPLING_SEED_COMPACTU=1 opts in."""
+        import os
+
+        from ..config import QueryConfig
+
+        return QueryConfig(compact_unresolved=os.environ.get(
+            "SAPLING_SEED_COMPACTU", "0") == "1")
+
     def _count_hits(self, sa_pos: np.ndarray):
         """Vectorized countHitsLeft/Right (reference:
         src/sapling_api.h:254-303) — now the public
@@ -195,7 +210,8 @@ class SeedExtendAligner:
         positions = np.full(ne * ns, -1, dtype=np.int64)
         _tick("encode")
         if valid.any():
-            positions[valid] = idx.query_positions(seed_kmers[valid])
+            positions[valid] = idx.query_positions(seed_kmers[valid],
+                                                   self._seed_qcfg())
         _tick("query(dev)")
 
         # --- phase 2: verify + hit counting ---------------------------------
