@@ -209,6 +209,7 @@ class SaplingIndex:
 
     def device_arrays(self, rev_bank_bits: int | None = None,
                       rev_pair: bool | None = None,
+                      rev_rows2d: bool | None = None,
                       use_ptab: bool | None = None,
                       use_pred2: bool | None = None):
         """Lazily put the hot arrays on the default device.
@@ -235,7 +236,7 @@ class SaplingIndex:
         if not self._device:
             import jax.numpy as jnp
 
-            from ..ops.query import HalvesU32, PairedU32
+            from ..ops.query import HalvesU32, PairedU32, Rows2D
 
             rev = self.rev
             big = rev.shape[0] > (1 << 31) - 1
@@ -245,6 +246,11 @@ class SaplingIndex:
                 # (X64Split temps) — OOMs v5e HBM at the >= 2^31-entry
                 # scale this targets (docs/PERFORMANCE.md)
                 rev = PairedU32.pack(rev)
+            elif rev_rows2d:
+                # ONE 2-D-indexed gather per rank lookup, zero overhead;
+                # cost vs HalvesU32's two 1-D takes is measured by
+                # tools/microbench_gather.py per backend
+                rev = Rows2D.pack(rev)
             elif big and bits is None:
                 rev = HalvesU32.pack(rev)  # 2 gather ops, no overhead
             elif bits is not None:

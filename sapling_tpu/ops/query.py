@@ -85,6 +85,27 @@ class PairedU32(NamedTuple):
         return PairedU32(w64=jnp.asarray(a.view(_np.uint64)))
 
 
+class Rows2D(NamedTuple):
+    """A uint32 array with >= 2^31 elements stored as ONE [2, ceil(len/2)]
+    operand: element i lives at (i & 1, i >> 1), both coordinates int32-
+    indexable. A single gather op with (row, col) index pairs reaches any
+    element — half the gather OPS of HalvesU32 — at zero memory overhead
+    (unlike PairedU32's u64-arg doubling). Whether one 2-D-indexed gather
+    actually costs less than two 1-D takes is an empirical question per
+    backend: tools/microbench_gather.py measures it."""
+
+    rows: jnp.ndarray  # uint32 [2, ceil(len/2)]; rows[p, j] = arr[2j + p]
+
+    @staticmethod
+    def pack(arr) -> "Rows2D":
+        import numpy as _np
+
+        a = _np.ascontiguousarray(arr, dtype=_np.uint32)
+        if a.shape[0] % 2:
+            a = _np.concatenate([a, _np.zeros(1, _np.uint32)])
+        return Rows2D(rows=jnp.asarray(_np.stack([a[0::2], a[1::2]])))
+
+
 class HalvesU32(NamedTuple):
     """A uint32 array with >= 2^31 elements, stored as its even/odd
     element halves (each < 2^31, int32-indexable): element i is
@@ -228,6 +249,15 @@ def take_rank(rev, idx):
         j = (idx >> 1).astype(jnp.int32)
         return jnp.where((idx & 1) == 0, jnp.take(rev.even, j),
                          jnp.take(rev.odd, j))
+    if isinstance(rev, Rows2D):
+        r = (idx & 1).astype(jnp.int32)
+        c = (idx >> 1).astype(jnp.int32)
+        dn = jax.lax.GatherDimensionNumbers(
+            offset_dims=(), collapsed_slice_dims=(0, 1),
+            start_index_map=(0, 1))
+        return jax.lax.gather(
+            rev.rows, jnp.stack([r, c], axis=-1), dn, slice_sizes=(1, 1),
+            mode=jax.lax.GatherScatterMode.CLIP)
     if not isinstance(rev, (tuple, list)):
         return jnp.take(rev, idx)
     bank_bits = int(rev[0].shape[0]).bit_length() - 1
@@ -398,7 +428,7 @@ def _state_dtype(storage_dtype):
 def _rev_dtype(rev):
     if isinstance(rev, SplitRanks):
         return jnp.int64  # values are reassembled 40-bit positions
-    if isinstance(rev, (PairedU32, HalvesU32)):
+    if isinstance(rev, (PairedU32, HalvesU32, Rows2D)):
         return jnp.uint32
     return rev[0].dtype if isinstance(rev, (tuple, list)) else rev.dtype
 

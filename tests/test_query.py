@@ -642,3 +642,32 @@ def test_count_hits_vs_reference_loop():
         for j, r in enumerate(ranks):
             assert right[j] == ref_right(int(r), mh), (r, mh)
             assert left[j] == min(ref_left(int(r), mh), int(r)), (r, mh)
+
+
+def test_rows2d_rev_matches_flat():
+    """Rows2D rev layout ([2, ceil(n/2)] operand, ONE 2-D-indexed gather
+    per rank lookup — candidate replacement for HalvesU32 at GRCh38
+    scale) must give identical results through both query kernels and
+    all paths."""
+    import numpy as np
+
+    from sapling_tpu.config import IndexConfig
+    from sapling_tpu.index.sapling import SaplingIndex
+    from sapling_tpu.ops.query import Rows2D
+    from sapling_tpu.sim.genomes import uniform_genome
+
+    g = uniform_genome(30_001, seed=77)  # odd n: exercises the pad slot
+    a = SaplingIndex.build(g, IndexConfig(k=21))
+    b = SaplingIndex.build(g, IndexConfig(k=21))
+    b.device_arrays(rev_rows2d=True)
+    assert isinstance(b._device["rev"], Rows2D)
+    rng = np.random.default_rng(11)
+    for length in (16, 21, 31):
+        starts = rng.integers(0, a.n - length, 2000)
+        codes = a.codes[starts[:, None] + np.arange(length)]
+        codes[:40] = rng.integers(0, 4, (40, length))
+        np.testing.assert_array_equal(
+            a.query_positions(codes), b.query_positions(codes),
+            err_msg=f"length={length}")
+    np.testing.assert_array_equal(
+        a.query_positions_binsearch(codes), b.query_positions_binsearch(codes))
