@@ -274,7 +274,16 @@ def predict_pwl(x, xlist, ylist, kbits: int, buckets: int, n: int, xp=jnp,
             v = v.astype(jnp.int64 if xp is jnp else np.int64)
         return v
 
-    if xp is jnp and n <= (1 << 31) and kbits <= 48:
+    repack_ok = n <= (1 << 31)
+    if not repack_ok and n < (1 << 32):
+        # The repack itself is exact for every y < 2^32 (docstring of
+        # _endpoints_packed); above 2^31 bases it is gated off only for
+        # its HBM temps (~12 B/checkpoint next to a ~12.4 GB rev).
+        # SAPLING_PRED_REPACK_BIG=1 opts in for the end-to-end A/B.
+        import os
+
+        repack_ok = os.environ.get("SAPLING_PRED_REPACK_BIG", "0") == "1"
+    if xp is jnp and repack_ok and kbits <= 48:
         # Below 2^31 bases the xy64+xhi16 repack temps (10 B/checkpoint
         # on device) are affordable and save 2-4 gather ops. Above —
         # GRCh38-scale, where rev alone is ~12.4 GB of HBM — prediction

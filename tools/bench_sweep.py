@@ -29,7 +29,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 import numpy as np
 
 
-def measure(idx, qlen: int, nq: int, baseline: bool = False):
+def measure(idx, qlen: int, nq: int, baseline: bool = False,
+            iters: int = 6):
+    """Current-engine measurement: fast3 prefixes when present,
+    compact_unresolved cascade, and `iters` data-chained iterations
+    inside ONE dispatch (per-dispatch RPC through the tunnel costs
+    ~0.2-0.5 s and block_until_ready lies — docs/PERFORMANCE.md)."""
     from sapling_tpu.ops import pack as packops
     from sapling_tpu.ops.query import binsearch_batch, plquery_batch
 
@@ -37,46 +42,69 @@ def measure(idx, qlen: int, nq: int, baseline: bool = False):
     starts = rng.integers(0, idx.n - qlen + 1, nq)
     codes2d = idx.codes[starts[:, None] + np.arange(qlen)]
     import jax
+    import jax.numpy as jnp
 
     q_words = jax.device_put(packops.pack_queries(codes2d))
     x = jax.device_put(packops.batch_kmers_adjusted(codes2d, idx.k))
     dev = idx.device_arrays()
+    use3 = (dev.get("prefix3") is not None
+            and qlen <= min(idx.k, packops.P3_BASES))
+    q3 = (jax.device_put(packops.pack_queries3(codes2d)) if use3 else None)
     t = idx.table
+    from sapling_tpu.ops.query import _rev_dtype
 
-    def pl(qw, xx):
-        return plquery_batch(
-            dev["packed"], dev["rev"], dev["xlist"], dev["ylist"], qw, xx,
-            dev.get("prefix"), ptab=dev.get("ptab"),
-            pred2=dev.get("pred2"), pred2_bits=dev.get("pred2_bits"),
-            n=idx.n, length=qlen, k=idx.k, buckets=idx.buckets,
-            most_over=t.most_over, most_under=t.most_under,
-            max_over=t.max_over, max_under=t.max_under,
-            compact_escalate=True)
+    state_dt = (jnp.int64 if np.dtype(_rev_dtype(dev["rev"])) == np.uint32
+                else _rev_dtype(dev["rev"]))
 
-    np.asarray(pl(q_words, x))          # compile + warm
-    iters, xx, out = 3, x, None
+    @jax.jit
+    def run_k(qw, xx0, q3a):
+        def body(_, carry):
+            xx, _p = carry
+            out = plquery_batch(
+                dev["packed"], dev["rev"], dev["xlist"], dev["ylist"],
+                qw, xx, dev.get("prefix"), dev.get("prefix3"), q3a,
+                ptab=dev.get("ptab"), pred2=dev.get("pred2"),
+                pred2_bits=dev.get("pred2_bits"),
+                n=idx.n, length=qlen, k=idx.k, buckets=idx.buckets,
+                most_over=t.most_over, most_under=t.most_under,
+                max_over=t.max_over, max_under=t.max_under,
+                compact_escalate=True, compact_unresolved=True)
+            return xx + out[0] * 0, out
+
+        return jax.lax.fori_loop(
+            0, iters, body, (xx0, jnp.zeros(xx0.shape[0], state_dt)))[1]
+
+    np.asarray(run_k(q_words, x, q3))          # compile + warm
     t0 = time.time()
-    for _ in range(iters):
-        out = pl(q_words, xx)
-        xx = x + (out[0] * 0)           # dependency chain (no lazy elision)
-    pos = np.asarray(out)
+    pos = np.asarray(run_k(q_words, x, q3))
     qps = nq / ((time.time() - t0) / iters)
     sample = np.random.default_rng(1).choice(nq, min(nq, 100_000), False)
     good = int(idx.verify_hits(codes2d[sample], pos[sample]).sum())
     assert good == len(sample), f"self-check {good}/{len(sample)}"
     res = {"qlen": qlen, "nq": nq, "plquery_qps": round(qps)}
     if baseline:
+        # q_words is WORD-MAJOR [WQ, B]: lanes slice on axis 1. Chained
+        # iterations amortize the ~0.2-0.5 s per-dispatch RPC that would
+        # otherwise understate the baseline (and overstate the speedup).
         nb = min(nq, 1_000_000)
-        qb = q_words[:nb]
+        qb = q_words[:, :nb]
+        bs_iters = 3
 
-        def bs(q):
-            return binsearch_batch(dev["packed"], dev["rev"], q,
-                                   n=idx.n, length=qlen)
+        @jax.jit
+        def run_bs(q):
+            def body(_, carry):
+                qq, _p = carry
+                out = binsearch_batch(dev["packed"], dev["rev"], qq,
+                                      n=idx.n, length=qlen)
+                return qq.at[0, 0].add(out[0].astype(jnp.uint32) * 0), out
 
-        np.asarray(bs(qb))
+            return jax.lax.fori_loop(
+                0, bs_iters, body, (q, jnp.zeros(nb, state_dt)))[1]
+
+        np.asarray(run_bs(qb))
         t0 = time.time()
-        np.asarray(bs(qb))
-        res["binsearch_qps"] = round(nb / (time.time() - t0))
+        np.asarray(run_bs(qb))
+        res["binsearch_qps"] = round(nb / ((time.time() - t0) / bs_iters))
     return res
 
 
