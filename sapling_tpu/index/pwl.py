@@ -26,6 +26,7 @@ import numpy as np
 
 from ..ops.pack import ALPHA, kmers_scan
 from ..ops.predict import predict_pwl
+from ..utils import parhost
 from .suffix_array import lcp_ge_k_runs
 
 
@@ -77,6 +78,100 @@ class ErrorAudit:
         return {"count": cnt, "max": mx, "mean": mean, "median": med}
 
 
+def _fill_empty(xlist: np.ndarray, ylist: np.ndarray, nb: int):
+    """Empty-bucket forward fill (reference src/sapling_api.h:436-449):
+    a bucket with no k-mers inherits the previous bucket's checkpoint."""
+    if xlist[0] == -1:
+        xlist[0] = 0
+        ylist[0] = 0
+    empty = xlist == -1
+    src = np.where(~empty, np.arange(nb + 1), 0)
+    src = np.maximum.accumulate(src)
+    return xlist[src], ylist[src]
+
+
+def _ckpt_stripe(span):
+    """Per-stripe sweep-1 reduction (see build_checkpoints_fast): dense
+    per-bucket minkey plus the stripe's (max bucket, best final key)."""
+    lo, hi = span
+    c = parhost.ctx()
+    kmers = c["kmers"]
+    shift = c["shift"]
+    nb = c["nb"]
+    chunk = c["chunk"]
+    sent = np.iinfo(np.int64).max
+    minkey = np.full(nb, sent, dtype=np.int64)
+    low_mask = np.int64((1 << shift) - 1)
+    for s in range(lo, hi, chunk):
+        xs = kmers[s : min(s + chunk, hi)]
+        key = ((xs & low_mask) << 32) | np.arange(
+            s, s + xs.shape[0], dtype=np.int64)
+        np.minimum.at(minkey, xs >> shift, key)
+    filled = np.flatnonzero(minkey != sent)
+    bmax = int(filled[-1]) if filled.size else -1
+    best = -1
+    if bmax >= 0:
+        # final-checkpoint candidate: max x in the stripe's max bucket,
+        # earliest position (pos negated into the key so the max-reduce
+        # tie-breaks earliest)
+        for s in range(lo, hi, chunk):
+            xs = kmers[s : min(s + chunk, hi)]
+            sel = xs >> shift == bmax
+            if sel.any():
+                xl = xs[sel] & low_mask
+                ps = np.flatnonzero(sel).astype(np.int64) + s
+                key = (xl << 32) | (np.int64(0xFFFFFFFF) - ps)
+                best = max(best, int(key.max()))
+    return minkey, bmax, best
+
+
+def build_checkpoints_fast(kmers: np.ndarray, y: np.ndarray, kbits: int,
+                           buckets: int, chunk: int = 1 << 26,
+                           workers: int = 1):
+    """Sort-free sweep 1 — bit-identical output to build_checkpoints
+    without the full-stream argsort (the multi-Gbp build's dominant
+    stage: ~166 s at 230 Mbp, ~45 min extrapolated to GRCh38 scale).
+
+    Within a bucket, x varies only in its low `shift` bits, so the
+    48-bit key (xlow << 32 | position) makes ONE np.minimum.at pass
+    compute both the per-bucket min-x and its earliest-position
+    tie-break at once (the reference's strictly-less update keeps the
+    first occurrence, src/sapling_api.h:409-434). Requires shift <= 31
+    and m < 2^32; falls back to build_checkpoints otherwise.
+    With workers > 1 the stream is striped over forked workers
+    (utils.parhost) and the dense per-bucket keys merged — the global
+    max x lives in the overall max bucket, so any stripe touching it
+    reports it as its own max (monotone x >> shift).
+    """
+    nb = 1 << buckets
+    shift = kbits - buckets
+    m = kmers.shape[0]
+    if shift > 31 or m >= (1 << 32):
+        return build_checkpoints(kmers, y, kbits, buckets)
+    xlist = np.full(nb + 1, -1, dtype=np.int64)
+    ylist = np.zeros(nb + 1, dtype=np.int64)
+    if m:
+        parts = parhost.run_forked(
+            _ckpt_stripe, parhost.stripes_of(m, max(1, workers)),
+            {"kmers": kmers, "shift": shift, "nb": nb, "chunk": chunk},
+            workers=workers)
+        minkey = parts[0][0]
+        for mk, _, _ in parts[1:]:
+            np.minimum(minkey, mk, out=minkey)
+        bstar = max(bm for _, bm, _ in parts)
+        best = max(bb for _, bm, bb in parts if bm == bstar)
+        sent = np.iinfo(np.int64).max
+        filled = np.flatnonzero(minkey != sent)
+        pos = minkey[filled] & np.int64(0xFFFFFFFF)
+        xlist[filled] = (filled.astype(np.int64) << shift) | (
+            minkey[filled] >> 32)
+        ylist[filled] = y[pos].astype(np.int64)
+        xlist[nb] = (np.int64(bstar) << shift) | (best >> 32)
+        ylist[nb] = int(y[0xFFFFFFFF - (best & 0xFFFFFFFF)])
+    xlist, ylist = _fill_empty(xlist, ylist, nb)
+    return xlist, ylist
+
+
 def build_checkpoints(kmers: np.ndarray, y: np.ndarray, kbits: int, buckets: int):
     """Sweep 1: per-bucket (min-x, y-of-earliest-min-x) checkpoints.
 
@@ -109,15 +204,7 @@ def build_checkpoints(kmers: np.ndarray, y: np.ndarray, kbits: int, buckets: int
         pos_first_max = order[m - cnt]
         xlist[nb] = xmax
         ylist[nb] = int(y[pos_first_max])
-    # empty-bucket fill (:436-449)
-    if xlist[0] == -1:
-        xlist[0] = 0
-        ylist[0] = 0
-    empty = xlist == -1
-    src = np.where(~empty, np.arange(nb + 1), 0)
-    src = np.maximum.accumulate(src)
-    xlist = xlist[src]
-    ylist = ylist[src]
+    xlist, ylist = _fill_empty(xlist, ylist, nb)
     return xlist, ylist
 
 
@@ -132,33 +219,48 @@ def error_audit(
     n: int,
     chunk: int = 1 << 26,
     fwd: np.ndarray | None = None,
+    workers: int = 1,
 ) -> ErrorAudit:
     """Sweep 2: predict every genome k-mer, record the signed shifted
     error. Chunked so multi-Gbp genomes stay within host RAM (the int64
     temporaries would otherwise be ~8 arrays x n x 8 B). Pass precomputed
-    `fwd` (lcp>=k forward runs) to skip re-deriving them from lcp."""
+    `fwd` (lcp>=k forward runs) to skip re-deriving them from lcp.
+    workers > 1 fans chunks over forked workers (utils.parhost) — the
+    multi-Gbp build's dominant stage, embarrassingly chunk-parallel."""
     m = kmers.shape[0]
     kbits = ALPHA * k
     if fwd is None:
         fwd, _bwd = lcp_ge_k_runs(lcp, k)
     errors = np.empty(m, dtype=np.int32)
     perfect = 0
-    fwd_len = fwd.shape[0]
-    for lo in range(0, m, chunk):
-        hi = min(lo + chunk, m)
-        pred = predict_pwl(kmers[lo:hi], xlist, ylist, kbits, buckets, n,
-                           xp=np)
-        y = inv[lo:hi].astype(np.int64)
-        yc = np.minimum(y, fwd_len - 1) if fwd_len else y * 0
-        runs = np.where(y < fwd_len, fwd[yc].astype(np.int64), 0) \
-            if fwd_len else np.zeros_like(y)
-        # under-shot actual (y < pred): shift y up toward pred, bounded by
-        # the lcp>=k run (all intermediate ranks share the k-prefix).
-        y_shift = np.where(y < pred, np.minimum(pred, y + runs), y)
-        err = y_shift - pred
-        errors[lo:hi] = err.astype(np.int32)
-        perfect += int(np.count_nonzero(err == 0))
+    for lo, err, perf in parhost.run_forked(
+            _audit_span, parhost.spans_of(m, chunk),
+            {"kmers": kmers, "inv": inv, "fwd": fwd, "xlist": xlist,
+             "ylist": ylist, "kbits": kbits, "buckets": buckets, "n": n},
+            workers=workers):
+        errors[lo : lo + err.shape[0]] = err
+        perfect += perf
     return ErrorAudit(errors=errors, perfect_predictions=perfect)
+
+
+def _audit_span(span):
+    """One error_audit chunk (fork-worker body; big inputs come in
+    copy-on-write via parhost.ctx())."""
+    lo, hi = span
+    c = parhost.ctx()
+    pred = predict_pwl(c["kmers"][lo:hi], c["xlist"], c["ylist"],
+                       c["kbits"], c["buckets"], c["n"], xp=np)
+    y = c["inv"][lo:hi].astype(np.int64)
+    fwd = c["fwd"]
+    fwd_len = fwd.shape[0]
+    yc = np.minimum(y, fwd_len - 1) if fwd_len else y * 0
+    runs = np.where(y < fwd_len, fwd[yc].astype(np.int64), 0) \
+        if fwd_len else np.zeros_like(y)
+    # under-shot actual (y < pred): shift y up toward pred, bounded by
+    # the lcp>=k run (all intermediate ranks share the k-prefix).
+    y_shift = np.where(y < pred, np.minimum(pred, y + runs), y)
+    err = (y_shift - pred).astype(np.int32)
+    return lo, err, int(np.count_nonzero(err == 0))
 
 
 def bucket_bounds(kmers: np.ndarray, errors: np.ndarray, kbits: int,

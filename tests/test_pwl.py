@@ -64,3 +64,36 @@ def test_exact_rational_vs_f64_oracle():
         assert int(want[np.flatnonzero(xs == x)[0]]) == min(
             o.query_pwl(int(x)), len(seq) - 1
         )
+
+
+def test_checkpoints_fast_and_parallel_audit_parity():
+    """The sort-free (and fork-striped) sweep-1 reduction and the
+    fork-chunked error audit must be bit-identical to the serial
+    argsort forms at every worker count (the multi-Gbp build path,
+    tools/build_big_index.py)."""
+    from sapling_tpu.index.pwl import (build_checkpoints,
+                                       build_checkpoints_fast, error_audit)
+
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        m = int(rng.integers(1, 60_000))
+        k = int(rng.integers(4, 21))
+        kbits = 2 * k
+        buckets = int(rng.integers(2, min(kbits, 12)))
+        kmers = rng.integers(0, 1 << kbits, m).astype(np.int64)
+        if trial % 2:  # heavy duplication exercises the tie-breaks
+            kmers = kmers % max(1, m // 50)
+        y = rng.permutation(m).astype(np.int64)
+        x1, y1 = build_checkpoints(kmers, y, kbits, buckets)
+        for w in (1, 3):
+            x2, y2 = build_checkpoints_fast(kmers, y, kbits, buckets,
+                                            chunk=1 << 12, workers=w)
+            assert np.array_equal(x1, x2) and np.array_equal(y1, y2)
+        fwd = rng.integers(0, 5, max(m - 1, 1)).astype(np.int32)
+        inv = rng.permutation(m).astype(np.int64)
+        a1 = error_audit(kmers, inv, None, x1, y1, k, buckets, m,
+                         chunk=1 << 12, fwd=fwd, workers=1)
+        a2 = error_audit(kmers, inv, None, x1, y1, k, buckets, m,
+                         chunk=1 << 12, fwd=fwd, workers=3)
+        assert np.array_equal(a1.errors, a2.errors)
+        assert a1.perfect_predictions == a2.perfect_predictions

@@ -44,20 +44,35 @@ def _fwd_runs_from_ok(ok: np.ndarray) -> np.ndarray:
     return runs.astype(np.int32)
 
 
+def _kmers_span(span):
+    from sapling_tpu.ops import pack as packops
+    from sapling_tpu.utils import parhost
+
+    lo, hi = span
+    c = parhost.ctx()
+    k = c["k"]
+    # windows ending past hi belong to the next span; overlap k-1 codes
+    return lo, packops.kmers_scan(
+        c["codes"][lo : hi + k - 1], k)[: hi - lo]
+
+
 def main(argv):
     from sapling_tpu.config import parse_keyval_args
     from sapling_tpu.index.pwl import (PwlTable, bucket_bounds,
-                                       build_checkpoints, error_audit,
+                                       build_checkpoints_fast, error_audit,
                                        error_stats)
     from sapling_tpu.index.sapling import SaplingIndex
     from sapling_tpu.native import build_suffix_array, lcp_kasai
     from sapling_tpu.ops import pack as packops
     from sapling_tpu.sim.genomes import benchmark_genome
+    from sapling_tpu.utils import parhost
 
     kv = parse_keyval_args(argv[1:])
     n = int(kv.get("n", 3_100_000_000))
     k = int(kv.get("k", 21))
     nb = int(kv.get("nb", 26))
+    want_bounds = bool(int(kv.get("bounds", 0)))
+    workers = int(kv.get("workers", parhost.default_workers()))
     out = kv.get("out", os.path.join(_ROOT, ".bench_cache",
                                      f"bench_{n}_k{k}.stpu.npz"))
     os.makedirs(os.path.dirname(out), exist_ok=True)
@@ -65,45 +80,71 @@ def main(argv):
         log(f"{out} exists; nothing to do")
         return 0
 
+    # Stage cache: SA-IS + Kasai are the irreducible serial stages
+    # (~65% of a from-scratch build); their lean outputs are cached so
+    # an interrupted build — or a rebuild with different nb — resumes
+    # from here.
+    stage = os.path.join(os.path.dirname(out), f"stage_{n}_k{k}.npz")
     t0 = time.time()
-    log(f"generating {n/1e9:.2f} Gbp benchmark genome")
-    seq = benchmark_genome(n)
-    log(f"genome done ({time.time()-t0:.0f}s); SA-IS (int64)")
+    if os.path.exists(stage):
+        log(f"loading stage cache {stage}")
+        z = np.load(stage)
+        codes, inv32, fwd = z["codes"], z["inv32"], z["fwd"]
+        del z
+    else:
+        log(f"generating {n/1e9:.2f} Gbp benchmark genome")
+        seq = benchmark_genome(n)
+        log(f"genome done ({time.time()-t0:.0f}s); SA-IS (int64)")
 
-    t1 = time.time()
-    sa = build_suffix_array(seq, np.int64)
-    log(f"SA-IS done ({time.time()-t1:.0f}s); Kasai LCP")
-    t1 = time.time()
-    inv, lcp = lcp_kasai(seq, sa)
-    del sa
-    gc.collect()
-    log(f"Kasai done ({time.time()-t1:.0f}s); deriving lean arrays")
+        t1 = time.time()
+        sa = build_suffix_array(seq, np.int64)
+        log(f"SA-IS done ({time.time()-t1:.0f}s); Kasai LCP")
+        t1 = time.time()
+        inv, lcp = lcp_kasai(seq, sa)
+        del sa
+        gc.collect()
+        log(f"Kasai done ({time.time()-t1:.0f}s); deriving lean arrays")
 
-    ok = lcp >= k
-    del lcp
-    gc.collect()
-    fwd = _fwd_runs_from_ok(ok)
-    del ok
-    gc.collect()
-    inv32 = inv.astype(np.uint32)
-    del inv
-    gc.collect()
+        ok = lcp >= k
+        del lcp
+        gc.collect()
+        fwd = _fwd_runs_from_ok(ok)
+        del ok
+        gc.collect()
+        inv32 = inv.astype(np.uint32)
+        del inv
+        gc.collect()
 
-    codes = packops.encode_bases(seq)
-    del seq
-    gc.collect()
-    log("k-mer scan")
+        codes = packops.encode_bases(seq)
+        del seq
+        gc.collect()
+        log(f"saving stage cache {stage}")
+        np.savez(stage, codes=codes, inv32=inv32, fwd=fwd)
+
+    log(f"k-mer scan ({workers} workers)")
     t1 = time.time()
-    kmers = packops.kmers_scan(codes, k)
-    log(f"kmers done ({time.time()-t1:.0f}s); PWL checkpoints (argsort)")
+    m = n - k + 1
+    kmers = np.empty(m, dtype=np.int64)
+    for lo, kch in parhost.run_forked(
+            _kmers_span, parhost.spans_of(m, 1 << 26),
+            {"codes": codes, "k": k}, workers=workers):
+        kmers[lo : lo + kch.shape[0]] = kch
+    log(f"kmers done ({time.time()-t1:.0f}s); PWL checkpoints (sort-free)")
     t1 = time.time()
-    xlist, ylist = build_checkpoints(kmers, inv32, 2 * k, nb)
-    log(f"checkpoints done ({time.time()-t1:.0f}s); error audit")
+    xlist, ylist = build_checkpoints_fast(kmers, inv32, 2 * k, nb,
+                                          workers=workers)
+    log(f"checkpoints done ({time.time()-t1:.0f}s); error audit "
+        f"({workers} workers)")
     t1 = time.time()
-    audit = error_audit(kmers, inv32, None, xlist, ylist, k, nb, n, fwd=fwd)
+    audit = error_audit(kmers, inv32, None, xlist, ylist, k, nb, n,
+                        fwd=fwd, workers=workers)
     del fwd
     gc.collect()
-    bnd = bucket_bounds(kmers, audit.errors, 2 * k, nb)
+    # per-bucket adaptive bounds power a flag-off query variant that
+    # measured <=0.92x at every scale (docs/PERFORMANCE.md); off by
+    # default here — tools/add_bucket_bounds.py retrofits them.
+    bnd = (bucket_bounds(kmers, audit.errors, 2 * k, nb)
+           if want_bounds else None)
     del kmers
     gc.collect()
     mo, mu, me, so, su = error_stats(audit)
