@@ -37,11 +37,14 @@ def kmer_spectrum(lcp: np.ndarray, n: int, max_k: int = 1000):
     cum_l = np.cumsum(hist_l)
     cum_m = np.cumsum(hist_m)
     ks = np.arange(1, cap + 1)
-    # ranks whose suffix is shorter than k can't host a k-mer; the ranks
-    # of short suffixes are exactly k-1 of them for threshold k. Short
-    # suffixes are prefixes of others only if... their left/right lcp is
-    # bounded by their length < k, so they are counted in cum as starts;
-    # subtract them directly.
+    # Ranks whose suffix is shorter than k can't host a k-mer, yet both
+    # cumulative counts include them: a suffix of length L < k has
+    # lcp <= L < k against BOTH neighbors (an LCP never exceeds the
+    # shorter suffix), so it always lands in "left < k" (a run start in
+    # cum_l) and in "max(left,right) < k" (a unique in cum_m). For
+    # threshold k the too-short suffixes are exactly those starting at
+    # the last k-1 text positions — k-1 of them — so subtracting k-1
+    # from each count removes them exactly.
     distinct = cum_l[ks - 1] - (ks - 1)
     unique = cum_m[ks - 1] - (ks - 1)
     total = np.maximum(np.int64(0), np.int64(lcp.shape[0] + 1) - ks + 1)

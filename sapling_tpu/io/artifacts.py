@@ -72,6 +72,30 @@ def read_sap(path: str):
     return buckets, xlist, ylist, tuple(int(s) for s in stats)
 
 
+def write_errors_text(path: str, kmers: np.ndarray, inv: np.ndarray,
+                      pred: np.ndarray, errors: np.ndarray, buckets: int,
+                      chunk: int = 1 << 22) -> None:
+    """Reference `.errors` dump: a `buckets` header line (reference
+    src/sapling_api.h:399 — PerBinErrors.java parses it as the bin
+    count), then one line per genome k-mer,
+    `"%lld %zu %zu %d" % (hash, true_rank, predicted_rank, error)`
+    (src/sapling_api.h:467) — the input format of
+    eval/ErrorsPerBin/PerBinErrors.java and eval/HighlightBins.
+    All-integer decimal columns; byte-identical to the reference
+    binary's errFn output (tests/test_interop.py)."""
+    m = kmers.shape[0]
+    with open(path, "wb") as f:
+        f.write(f"{buckets}\n".encode())
+        for lo in range(0, m, chunk):
+            hi = min(lo + chunk, m)
+            cols = np.empty((hi - lo, 4), dtype=np.int64)
+            cols[:, 0] = kmers[lo:hi]
+            cols[:, 1] = inv[lo:hi]
+            cols[:, 2] = pred[lo:hi]
+            cols[:, 3] = errors[lo:hi]
+            np.savetxt(f, cols, fmt="%d")
+
+
 def save_npz(path: str, **arrays) -> None:
     tmp = path + f".tmp{os.getpid()}"
     np.savez(tmp, **arrays)

@@ -138,6 +138,15 @@ def mse_loss(params, x, y, valid):
     return se.sum() / jnp.maximum(valid.sum(), 1)
 
 
+def mse_loss_per_chunk(params, x, y, valid):
+    """Per-chunk MSE [C] — each chunk normalized by its own valid count,
+    exactly the loss each of the reference's independent per-chunk
+    training processes sees (fit.py:211,238)."""
+    pred = forward(params, x)
+    se = jnp.squeeze((pred - y) ** 2, -1) * valid
+    return se.sum(axis=1) / jnp.maximum(valid.sum(axis=1), 1)
+
+
 @dataclass
 class Trainer:
     """All-chunks-at-once trainer with the reference's convergence rule."""
@@ -164,42 +173,103 @@ class Trainer:
 
         return step
 
+    def _masked_step(self):
+        """One vmapped training step over all chunks with PER-CHUNK
+        freezing: `active` [C] gates both the parameter update and the
+        optimizer-state advance, so a converged chunk's training stops
+        exactly as the reference's independent per-chunk process would
+        (fit.py:259-277 breaks out of that chunk's loop). Per-chunk best
+        params/losses track on device (fit.py:252-258)."""
+        opt = self.opt
+
+        @jax.jit
+        def step(params, opt_state, best_loss, best_params, x, y, valid,
+                 active):
+            def total(p):
+                lv = mse_loss_per_chunk(p, x, y, valid)
+                return lv.sum(), lv
+
+            grads, lv = jax.grad(total, has_aux=True)(params)
+            updates, new_opt = opt.update(grads, opt_state)
+            new_params = optax.apply_updates(params, updates)
+            c = active.shape[0]
+
+            def keep_active(new, old):
+                if new.ndim and new.shape[0] == c:
+                    a = active.reshape((c,) + (1,) * (new.ndim - 1))
+                    return jnp.where(a, new, old)
+                return new  # e.g. Adam's scalar step count
+
+            params2 = jax.tree.map(keep_active, new_params, params)
+            opt2 = jax.tree.map(keep_active, new_opt, opt_state)
+            improved = active & (lv < best_loss)
+            best_loss2 = jnp.where(improved, lv, best_loss)
+            best_params2 = jax.tree.map(
+                lambda p, bp: jnp.where(
+                    improved.reshape((c,) + (1,) * (p.ndim - 1)), p, bp),
+                params2, best_params)
+            return params2, opt2, best_loss2, best_params2, lv
+
+        return step
+
     def fit(self, ds: ResidualDataset, epochs: int = 500,
             convergence_window: int = 50, convergence_threshold: float = 0.1,
             batch: int | None = None, seed: int = 0, log=None):
-        """Full training loop with the reference's early stop: break when
-        the best loss in the trailing window improves on the prior best by
-        less than threshold*prior (fit.py:259-277)."""
-        step = self.train_step()
-        x = jnp.asarray(ds.x)
-        y = jnp.asarray(ds.res)
-        valid = jnp.asarray(ds.valid, jnp.float32)
-        losses: list[float] = []
+        """Training loop with the reference's early stop applied PER
+        CHUNK: chunk c stops when the best loss in ITS trailing window
+        improves on ITS prior best by less than threshold*prior
+        (fit.py:259-277 — each chunk is an independent process there).
+        Minibatch indices are likewise drawn per chunk
+        (rng key [seed, epoch, c]; the reference's DataLoader shuffles
+        per process, fit.py:180-183).
+
+        Returns the loss history [epochs_run, C]; per-chunk stop epochs
+        land in self.stop_epochs (-1 = ran the full budget)."""
+        step = self._masked_step()
+        x, y = ds.x, ds.res
+        valid = ds.valid.astype(np.float32)
+        c_count, s = x.shape[0], x.shape[1]
+        bs = min(batch, s) if batch else s
         params, opt_state = self.params, self.opt_state
-        best = (np.inf, params)
-        rng = np.random.default_rng(seed)
-        s = x.shape[1]
-        bs = batch or s
+        best_loss = jnp.full((c_count,), np.inf, jnp.float32)
+        best_params = params
+        active_np = np.ones(c_count, dtype=bool)
+        self.stop_epochs = np.full(c_count, -1, dtype=np.int64)
+        hist = np.empty((epochs, c_count), dtype=np.float64)
+        n_done = 0
         for epoch in range(epochs):
             if bs < s:
-                sel = rng.choice(s, size=bs, replace=False)
-                xb, yb, vb = x[:, sel], y[:, sel], valid[:, sel]
+                sel = np.stack([
+                    np.random.default_rng([seed, epoch, ci])
+                    .choice(s, size=bs, replace=False)
+                    for ci in range(c_count)])
+                xb = np.take_along_axis(x, sel[:, :, None], axis=1)
+                yb = np.take_along_axis(y, sel[:, :, None], axis=1)
+                vb = np.take_along_axis(valid, sel, axis=1)
             else:
                 xb, yb, vb = x, y, valid
-            params, opt_state, loss = step(params, opt_state, xb, yb, vb)
-            lossf = float(loss)
-            losses.append(lossf)
-            if lossf < best[0]:
-                best = (lossf, params)
+            params, opt_state, best_loss, best_params, lv = step(
+                params, opt_state, best_loss, best_params,
+                jnp.asarray(xb), jnp.asarray(yb), jnp.asarray(vb),
+                jnp.asarray(active_np))
+            hist[epoch] = np.asarray(lv)
+            n_done = epoch + 1
             if log and epoch % 50 == 0:
-                log(f"epoch {epoch} loss {lossf:.6f}")
+                log(f"epoch {epoch} mean loss {hist[epoch].mean():.6f} "
+                    f"({int(active_np.sum())}/{c_count} chunks active)")
             if epoch > convergence_window:
-                prior = min(losses[: epoch - convergence_window])
-                window = min(losses[epoch - convergence_window : epoch])
-                if prior - window < convergence_threshold * prior:
+                # reference slices exclude the current epoch's entry
+                # (fit.py:262-264: loss_list[:epoch-w], [epoch-w:epoch])
+                prior = hist[: epoch - convergence_window].min(axis=0)
+                window = hist[epoch - convergence_window : epoch].min(axis=0)
+                stop = active_np & (prior - window
+                                    < convergence_threshold * prior)
+                self.stop_epochs[stop] = epoch
+                active_np &= ~stop
+                if not active_np.any():
                     break
-        self.params, self.opt_state = best[1], opt_state
-        return np.asarray(losses)
+        self.params, self.opt_state = best_params, opt_state
+        return hist[:n_done]
 
     def predict_rows(self, ds: ResidualDataset) -> np.ndarray:
         """Predict suffix-array rows for the whole dataset

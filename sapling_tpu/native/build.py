@@ -18,7 +18,17 @@ _LOCK = threading.Lock()
 _CACHE: dict[str, str] = {}
 
 _CXX = os.environ.get("CXX", "g++")
-_FLAGS = ["-O3", "-std=c++17", "-fPIC", "-shared", "-march=native", "-funroll-loops"]
+# SAPLING_NATIVE_DEBUG=1 switches to a sanitized debug build (ASan +
+# UBSan, -O1, frame pointers) — the reference ships no sanitizer config
+# at all (src/Makefile:2 has only -g -Wall). The build is hash-keyed on
+# the flag set, so debug and release .so files never collide; note an
+# ASan .so only loads into a process started with LD_PRELOAD=libasan.
+if os.environ.get("SAPLING_NATIVE_DEBUG"):
+    _FLAGS = ["-O1", "-g", "-std=c++17", "-fPIC", "-shared",
+              "-fsanitize=address,undefined", "-fno-omit-frame-pointer"]
+else:
+    _FLAGS = ["-O3", "-std=c++17", "-fPIC", "-shared", "-march=native",
+              "-funroll-loops"]
 
 
 def _source_files() -> list[str]:

@@ -46,22 +46,47 @@ def shard_bounds(num_records: int, num_shards: int, shard: int) -> tuple[int, in
     return lo, min(lo + per, num_records)
 
 
-def split_fastq(path: str, num_shards: int, out_dir: str) -> list[str]:
-    """Split a FASTQ into contiguous per-shard files. Returns paths in
-    shard order."""
-    from ..io.fastq import read_fastq
+def count_fastq_records(path: str) -> int:
+    """Streaming record count (4 lines per record; a truncated trailing
+    record is dropped, matching the reference reader align.cpp:174-190)."""
+    n = 0
+    with open(path, "rb") as f:
+        for _ in f:
+            n += 1
+    return n // 4
 
-    reads = list(read_fastq(path))
+
+def split_fastq(path: str, num_shards: int, out_dir: str,
+                shard: int | None = None) -> list[str]:
+    """Split a FASTQ into contiguous per-shard files, streaming (O(1)
+    memory, record lines copied verbatim). With `shard` given, ONLY that
+    shard's file is written — each host materializes just its own slice
+    instead of every host rewriting the whole input. Returns the
+    deterministic path list for ALL shards either way (only the
+    requested ones exist on this host)."""
     os.makedirs(out_dir, exist_ok=True)
-    outs = []
-    for s in range(num_shards):
-        lo, hi = shard_bounds(len(reads), num_shards, s)
-        p = os.path.join(out_dir, f"shard{s:04d}.fq")
-        with open(p, "w") as f:
-            for rd in reads[lo:hi]:
-                f.write(f"@{rd.name}\n{rd.seq.decode()}\n+\n{rd.qual}\n")
-        outs.append(p)
-    return outs
+    total = count_fastq_records(path)
+    per = (total + num_shards - 1) // num_shards
+    paths = [os.path.join(out_dir, f"shard{s:04d}.fq")
+             for s in range(num_shards)]
+    want = set(range(num_shards)) if shard is None else {shard}
+    outs = {s: open(paths[s], "wb") for s in want}
+    try:
+        with open(path, "rb") as f:
+            it = iter(f)
+            for rec in range(total):
+                lines = [next(it) for _ in range(4)]
+                s = min(rec // per, num_shards - 1) if per else 0
+                if s in outs:
+                    for ln in lines:
+                        outs[s].write(
+                            ln if ln.endswith(b"\n") else ln + b"\n")
+                elif shard is not None and s > shard:
+                    break
+    finally:
+        for fh in outs.values():
+            fh.close()
+    return paths
 
 
 def align_shard(index, fastq_shard: str, out_sam_body: str, cfg=None) -> None:
@@ -103,7 +128,7 @@ def align_fastq_multihost(index, fastq: str, out_sam: str, cl: str,
     pid, n = jax.process_index(), jax.process_count()
     work = work_dir or (out_sam + ".shards")
     os.makedirs(work, exist_ok=True)
-    shards = split_fastq(fastq, n, work)
+    shards = split_fastq(fastq, n, work, shard=pid)
     body = os.path.join(work, f"body{pid:04d}.sam")
     align_shard(index, shards[pid], body, cfg)
     if n > 1:

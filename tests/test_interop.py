@@ -107,3 +107,34 @@ def test_sap_roundtrip_quirk():
         # header: 4-byte buckets + 4-byte size for buckets<=30
         raw = open(p, "rb").read()
         assert len(raw) == 4 + 4 + 2 * 8 * 33 + 20
+
+
+def test_errors_text_byte_identical(ref_example_bin, tmp_path):
+    """Our errFn dump is byte-identical to the reference binary's
+    `.errors` text output (src/sapling_api.h:467: one
+    "hash rank predict error" line per genome k-mer) — the input format
+    of eval/ErrorsPerBin/PerBinErrors.java and eval/HighlightBins."""
+    from sapling_tpu.index.pwl import error_audit
+    from sapling_tpu.ops.pack import kmers_scan
+    from sapling_tpu.ops.predict import predict_pwl_f64
+
+    g = uniform_genome(40_000, seed=7)
+    write_fasta(str(tmp_path / "ref.fa"), [("chr1", bytes(g))])
+    ref_err = tmp_path / "ref.errors"
+    res = subprocess.run(
+        [ref_example_bin, str(tmp_path / "ref.fa"), "nq=10",
+         f"errFn={ref_err}"],
+        capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr
+
+    idx = SaplingIndex.build(g, IndexConfig(k=21))
+    inv64, lcp64 = artifacts.read_sa(str(tmp_path / "ref.fa.sa"))
+    kmers = kmers_scan(idx.codes, idx.k)
+    audit = error_audit(kmers, inv64, lcp64, idx.table.xlist,
+                        idx.table.ylist, idx.k, idx.buckets, idx.n)
+    pred = predict_pwl_f64(kmers, idx.table.xlist, idx.table.ylist,
+                           2 * idx.k, idx.buckets, idx.n)
+    ours = tmp_path / "ours.errors"
+    artifacts.write_errors_text(str(ours), kmers, inv64[: kmers.shape[0]],
+                                pred, audit.errors, idx.buckets)
+    assert ours.read_bytes() == ref_err.read_bytes()

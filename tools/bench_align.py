@@ -7,7 +7,14 @@ measured wall-clock with results materialized, plus simulation-truth
 quality (AlignmentQuality semantics, eval/Aligner/AlignmentQuality.java).
 
     python tools/bench_align.py [n=230000000] [reads=50000] [len=100]
-        [sub=0.01] [block=8192]
+        [sub=0.01] [block=8192] [ref=0]
+
+ref=1 additionally times the compiled reference aligner
+(tests/_build/align_fixed, the inv-fixed src/align.cpp:391 binary) on
+the SAME genome + FASTQ. Its index build is untimed (cached .sa/.sap,
+same artifact-caching the reference itself uses, sapling_api.h:559-675);
+per-read throughput isolates the alignment loop by subtracting a
+1-read run's startup (genome read + .sa/.sap load) from the full run.
 """
 
 import os
@@ -80,7 +87,93 @@ def main(argv):
         f"{k}={v:.2f}s({100*v/tot:.0f}%)"
         for k, v in sorted(aligner.phase_seconds.items(),
                            key=lambda kv: -kv[1])))
+
+    if int(kv.get("ref", 0)):
+        ref_rps = bench_reference(n, g_ascii, reads, rlen)
+        if ref_rps:
+            print(f"reference align_fixed: {ref_rps:,.0f} reads/s "
+                  f"-> speedup {n_reads/dt/ref_rps:.2f}x")
     return 0
+
+
+def _build_align_fixed():
+    """Compile the inv-fixed reference aligner (same recipe as
+    tests/test_aligner.py ref_align_bin; patched source stays out of the
+    repo tree — oracle binary only)."""
+    import subprocess
+    import tempfile
+
+    build = os.path.join(_ROOT, "tests", "_build")
+    os.makedirs(build, exist_ok=True)
+    exe = os.path.join(build, "align_fixed")
+    if os.path.exists(exe):
+        return exe
+    ref_src = "/root/reference/src"
+    with tempfile.TemporaryDirectory(prefix="sapling_oracle_") as td:
+        patched = os.path.join(td, "align_fixed.cpp")
+        with open(os.path.join(ref_src, "align.cpp")) as f:
+            src = f.read()
+        src = src.replace("sapling->sa[ref_pos]", "sapling->lsa.inv[ref_pos]")
+        with open(patched, "w") as f:
+            f.write(src)
+        subprocess.run(
+            ["g++", "-O2", "-std=c++11", "-msse4.1", "-o", exe, patched,
+             os.path.join(ref_src, "ssw_cpp.cpp"),
+             os.path.join(ref_src, "ssw.c"), "-I", ref_src],
+            check=True)
+    return exe
+
+
+def bench_reference(n, g_ascii, reads, rlen):
+    """Time the reference aligner on the same corpus. Returns reads/s of
+    its alignment loop (startup measured via a 1-read run and subtracted;
+    index build is untimed — both sides load cached artifacts)."""
+    import subprocess
+
+    exe = _build_align_fixed()
+    wd = os.path.join(_ROOT, ".bench_cache", f"ref_align_{n}")
+    os.makedirs(wd, exist_ok=True)
+    ref_fa = os.path.join(wd, "ref.fa")
+    if not os.path.exists(ref_fa):
+        with open(ref_fa, "w") as f:
+            f.write(">chr1\n")
+            g = g_ascii.tobytes().decode()
+            for lo in range(0, len(g), 80):
+                f.write(g[lo:lo + 80] + "\n")
+
+    def write_fastq(path, rs):
+        with open(path, "w") as f:
+            for r in rs:
+                f.write(f"@{r.name}\n{r.seq.decode()}\n+\n{'I' * rlen}\n")
+
+    full_fq = os.path.join(wd, "reads.fastq")
+    one_fq = os.path.join(wd, "one.fastq")
+    write_fastq(full_fq, reads)
+    write_fastq(one_fq, reads[:1])
+
+    def run(fq, tag):
+        t0 = time.time()
+        res = subprocess.run([exe, fq, ref_fa, os.path.join(wd, tag + ".sam")],
+                             capture_output=True, text=True, cwd=wd)
+        dt = time.time() - t0
+        if res.returncode != 0:
+            print(f"reference aligner failed: {res.stderr[-500:]}")
+            return None
+        return dt
+
+    if not os.path.exists(ref_fa + ".sa"):
+        print("building reference .sa/.sap (untimed, one-time)...",
+              flush=True)
+        if run(one_fq, "warm") is None:
+            return None
+    t_one = run(one_fq, "one")
+    t_full = run(full_fq, "full")
+    if t_one is None or t_full is None:
+        return None
+    loop = t_full - t_one
+    print(f"reference align_fixed: startup {t_one:.2f}s, "
+          f"full {t_full:.2f}s, loop {loop:.2f}s for {len(reads)} reads")
+    return (len(reads) - 1) / max(loop, 1e-9)
 
 
 if __name__ == "__main__":

@@ -2,7 +2,14 @@
 """Query-throughput benchmark for any cached index artifact.
 
     python tools/bench_query_scale.py <index.stpu.npz> [nq=5000000]
-        [qLen=21] [iters=10] [adaptive=0]
+        [qLen=21] [iters=10] [adaptive=0] [compact=0] [compact_u=0]
+        [cap=N] [hitrate=0] [sweep=SPEC]
+
+sweep=SPEC runs several configs after ONE index load/transfer; SPEC is
+comma-separated tokens: `off` (plain cascade), `cu:<cap>`
+(compact_unresolved at that cap), `ce:<cap>` (compact_escalate).
+hitrate=1 first measures the prediction-probe hit rate (the
+compact_unresolved cap-sizing signal, docs/PERFORMANCE.md).
 
 Honest timing per docs/PERFORMANCE.md: index arrays passed as jit
 ARGUMENTS (closure capture would ship them to the remote compiler as
@@ -29,7 +36,8 @@ def main(argv):
     from sapling_tpu.config import parse_keyval_args
     from sapling_tpu.index.sapling import SaplingIndex
     from sapling_tpu.ops import pack as packops
-    from sapling_tpu.ops.query import plquery_batch
+    from sapling_tpu.ops.predict import predict_pwl
+    from sapling_tpu.ops.query import make_rank_probe, plquery_batch
 
     if len(argv) < 2:
         print(__doc__)
@@ -39,9 +47,26 @@ def main(argv):
     qlen = int(kv.get("qLen", 21))
     iters = int(kv.get("iters", 10))
     adaptive = bool(int(kv.get("adaptive", 0)))
-    compact = bool(int(kv.get("compact", 0)))
-    compact_u = bool(int(kv.get("compact_u", 0)))
-    cap = int(kv["cap"]) if "cap" in kv else None
+    want_hitrate = bool(int(kv.get("hitrate", 0)))
+
+    # config list: one config from the flat flags, or several via sweep=
+    def _cfg(tok):
+        if tok == "off":
+            return dict(compact=False, compact_u=False, cap=None)
+        kind, _, caps = tok.partition(":")
+        cap = int(caps) if caps else None
+        if kind == "cu":
+            return dict(compact=False, compact_u=True, cap=cap)
+        if kind == "ce":
+            return dict(compact=True, compact_u=False, cap=cap)
+        raise SystemExit(f"bad sweep token {tok!r}")
+
+    if "sweep" in kv:
+        configs = [_cfg(t) for t in kv["sweep"].split(",") if t]
+    else:
+        configs = [dict(compact=bool(int(kv.get("compact", 0))),
+                        compact_u=bool(int(kv.get("compact_u", 0))),
+                        cap=int(kv["cap"]) if "cap" in kv else None)]
 
     t0 = time.time()
     idx = SaplingIndex.load(argv[1])
@@ -66,43 +91,71 @@ def main(argv):
     if adaptive and darr.get("bounds") is None:
         raise SystemExit("adaptive=1 needs a v3 index with bounds "
                          "(rebuild or tools/add_bucket_bounds.py)")
-    from sapling_tpu.ops.query import _rev_dtype
+    from sapling_tpu.ops.query import _rev_dtype, _state_dtype
 
     rdt = _rev_dtype(darr["rev"])
     state_dt = jnp.int64 if np.dtype(rdt) == np.uint32 else rdt
 
-    @jax.jit
-    def run_k(qw, xx0, q3a, packed, rev, xl, yl, pfx, pfx3, bnd, ptab,
-              pred2):
-        def body(_, carry):
-            xx, _p = carry
-            out = plquery_batch(
-                packed, rev, xl, yl, qw, xx, pfx, pfx3, q3a, bnd, ptab,
-                pred2, pred2_bits=p2bits,
-                n=idx.n, length=qlen, k=idx.k, buckets=idx.buckets,
-                most_over=t.most_over, most_under=t.most_under,
-                max_over=t.max_over, max_under=t.max_under,
-                adaptive_bounds=adaptive, compact_escalate=compact,
-                compact_cap=cap, compact_unresolved=compact_u)
-            return xx + out[0] * 0, out
+    if want_hitrate:
+        idt = _state_dtype(rdt)
 
-        return jax.lax.fori_loop(
-            0, iters, body, (xx0, jnp.zeros(xx0.shape[0], state_dt)))[1]
+        @jax.jit
+        def hitrate(qw, xx, packed, rev, xl, yl, pfx, ptab, pred2):
+            pred = predict_pwl(xx, xl, yl, 2 * idx.k, idx.buckets, idx.n,
+                               ptab=ptab, pred2=pred2,
+                               pred2_bits=p2bits).astype(idt)
+            probe = make_rank_probe(packed, rev, pfx, qw, n=idx.n,
+                                    length=qlen, idt=idt)
+            _, p0 = probe(pred)
+            return p0.match.sum()
 
-    print("compiling...", flush=True)
-    t0 = time.time()
-    np.asarray(run_k(q_words, x, q3, *arrs))
-    print(f"compiled in {time.time()-t0:.0f}s", flush=True)
-    t0 = time.time()
-    pos = np.asarray(run_k(q_words, x, q3, *arrs))
-    dt = (time.time() - t0) / iters
-    sample = min(nq, 200_000)
-    ok = int(idx.verify_hits(codes2d[:sample], pos[:sample]).sum())
-    print(f"plquery qLen={qlen}: {nq/dt:,.0f} q/s "
-          f"(fast3={use3}, adaptive={adaptive}, compact={compact}, "
-          f"compact_u={compact_u}); self-check {ok}/{sample}")
-    if ok != sample:
-        raise SystemExit("self-check FAILED")
+        print("compiling hitrate probe...", flush=True)
+        hits = int(hitrate(q_words, x, darr["packed"], darr["rev"],
+                           darr["xlist"], darr["ylist"],
+                           darr.get("prefix"), darr.get("ptab"),
+                           darr.get("pred2")))
+        print(f"prediction-probe hit rate: {hits}/{nq} "
+              f"({hits/nq:.1%}); unresolved {nq-hits} "
+              f"({(nq-hits)/nq:.1%})", flush=True)
+
+    def run_config(compact, compact_u, cap):
+        @jax.jit
+        def run_k(qw, xx0, q3a, packed, rev, xl, yl, pfx, pfx3, bnd, ptab,
+                  pred2):
+            def body(_, carry):
+                xx, _p = carry
+                out = plquery_batch(
+                    packed, rev, xl, yl, qw, xx, pfx, pfx3, q3a, bnd, ptab,
+                    pred2, pred2_bits=p2bits,
+                    n=idx.n, length=qlen, k=idx.k, buckets=idx.buckets,
+                    most_over=t.most_over, most_under=t.most_under,
+                    max_over=t.max_over, max_under=t.max_under,
+                    adaptive_bounds=adaptive, compact_escalate=compact,
+                    compact_cap=cap, compact_unresolved=compact_u)
+                return xx + out[0] * 0, out
+
+            return jax.lax.fori_loop(
+                0, iters, body, (xx0, jnp.zeros(xx0.shape[0], state_dt)))[1]
+
+        tag = (f"adaptive={adaptive}, compact={compact}, "
+               f"compact_u={compact_u}, cap={cap}")
+        print(f"compiling [{tag}]...", flush=True)
+        t0 = time.time()
+        np.asarray(run_k(q_words, x, q3, *arrs))
+        print(f"compiled in {time.time()-t0:.0f}s", flush=True)
+        t0 = time.time()
+        pos = np.asarray(run_k(q_words, x, q3, *arrs))
+        dt = (time.time() - t0) / iters
+        sample = min(nq, 200_000)
+        ok = int(idx.verify_hits(codes2d[:sample], pos[:sample]).sum())
+        print(f"plquery qLen={qlen} [{tag}] fast3={use3}: "
+              f"{nq/dt:,.0f} q/s; self-check {ok}/{sample}", flush=True)
+        if ok != sample:
+            raise SystemExit("self-check FAILED")
+        return nq / dt
+
+    best = max(run_config(**c) for c in configs)
+    print(f"best: {best:,.0f} q/s")
     return 0
 
 

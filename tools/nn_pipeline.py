@@ -55,7 +55,10 @@ def main(argv):
         layer_size=layer, hidden_layers=hidden)
     losses = trainer.fit(ds, epochs=epochs, batch=batch,
                          log=lambda m: print(m, flush=True))
-    print(f"trained {len(losses)} epochs, final loss {losses[-1]:.6f}")
+    stopped = int((trainer.stop_epochs >= 0).sum())
+    print(f"trained {len(losses)} epochs, final mean loss "
+          f"{losses[-1].mean():.6f} ({stopped}/{losses.shape[1]} chunks "
+          f"early-stopped)")
     rows = trainer.predict_rows(ds)
     order = np.argsort(kmers, kind="stable")
     true_rows = ranks[order].astype(np.float64)

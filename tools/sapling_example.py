@@ -101,18 +101,26 @@ def main(argv):
     print(f"index ready in {time.time() - t0:.1f}s "
           f"(n={idx.n}, buckets=2^{idx.buckets})")
     if kv.get("errFn"):
-        # dump every signed per-k-mer prediction error (reference errFn,
-        # src/sapling_api.h:456-481) for ErrorsPerBin-style analysis
+        # dump every signed per-k-mer prediction error in the reference's
+        # `.errors` TEXT format (src/sapling_api.h:456-481: one
+        # "hash rank predict error" line per k-mer) so the reference eval
+        # tools (eval/ErrorsPerBin/PerBinErrors.java:5,
+        # eval/HighlightBins/BestAndWorstBins.java) run on our dump
         from sapling_tpu.index.pwl import error_audit
         from sapling_tpu.ops.pack import kmers_scan
+        from sapling_tpu.ops.predict import predict_pwl_f64
         from sapling_tpu.io import artifacts
 
         inv64, lcp64 = artifacts.read_sa(ref_fn + ".sa")
         kmers = kmers_scan(idx.codes, idx.k)
         audit = error_audit(kmers, inv64, lcp64, idx.table.xlist,
                             idx.table.ylist, idx.k, idx.buckets, idx.n)
-        np.save(kv["errFn"], audit.errors)
-        print(f"wrote {kv['errFn']}.npy "
+        pred = predict_pwl_f64(kmers, idx.table.xlist, idx.table.ylist,
+                               2 * idx.k, idx.buckets, idx.n)
+        artifacts.write_errors_text(kv["errFn"], kmers,
+                                    inv64[: kmers.shape[0]], pred,
+                                    audit.errors, idx.buckets)
+        print(f"wrote {kv['errFn']} "
               f"({audit.perfect_predictions} perfect predictions)")
     if kv.get("sapFn"):
         idx.write_reference_artifacts(None, kv["sapFn"])
