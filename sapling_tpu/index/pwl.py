@@ -90,21 +90,35 @@ def _fill_empty(xlist: np.ndarray, ylist: np.ndarray, nb: int):
     return xlist[src], ylist[src]
 
 
+def _stripe_kmers(c, s, e):
+    """Stripe k-mer source: a materialized `kmers` array, or — for
+    builds where the full int64 stream would not fit host RAM (8 bytes x
+    4.7e9 positions at wheat-class scale) — derived per chunk from the
+    2-bit `codes` (fork workers see codes copy-on-write)."""
+    kmers = c.get("kmers")
+    if kmers is not None:
+        return kmers[s:e]
+    from ..ops.pack import kmers_scan
+
+    return kmers_scan(c["codes"][s : e + c["k"] - 1], c["k"])[: e - s]
+
+
 def _ckpt_stripe(span):
     """Per-stripe sweep-1 reduction (see build_checkpoints_fast): dense
     per-bucket minkey plus the stripe's (max bucket, best final key)."""
     lo, hi = span
     c = parhost.ctx()
-    kmers = c["kmers"]
     shift = c["shift"]
     nb = c["nb"]
     chunk = c["chunk"]
+    posbits = c.get("posbits", 32)
+    pmask = np.int64((1 << posbits) - 1)
     sent = np.iinfo(np.int64).max
     minkey = np.full(nb, sent, dtype=np.int64)
     low_mask = np.int64((1 << shift) - 1)
     for s in range(lo, hi, chunk):
-        xs = kmers[s : min(s + chunk, hi)]
-        key = ((xs & low_mask) << 32) | np.arange(
+        xs = _stripe_kmers(c, s, min(s + chunk, hi))
+        key = ((xs & low_mask) << posbits) | np.arange(
             s, s + xs.shape[0], dtype=np.int64)
         np.minimum.at(minkey, xs >> shift, key)
     filled = np.flatnonzero(minkey != sent)
@@ -115,19 +129,21 @@ def _ckpt_stripe(span):
         # earliest position (pos negated into the key so the max-reduce
         # tie-breaks earliest)
         for s in range(lo, hi, chunk):
-            xs = kmers[s : min(s + chunk, hi)]
+            xs = _stripe_kmers(c, s, min(s + chunk, hi))
             sel = xs >> shift == bmax
             if sel.any():
                 xl = xs[sel] & low_mask
                 ps = np.flatnonzero(sel).astype(np.int64) + s
-                key = (xl << 32) | (np.int64(0xFFFFFFFF) - ps)
+                key = (xl << posbits) | (pmask - ps)
                 best = max(best, int(key.max()))
     return minkey, bmax, best
 
 
-def build_checkpoints_fast(kmers: np.ndarray, y: np.ndarray, kbits: int,
+def build_checkpoints_fast(kmers: np.ndarray | None, y, kbits: int,
                            buckets: int, chunk: int = 1 << 26,
-                           workers: int = 1):
+                           workers: int = 1, codes: np.ndarray | None = None,
+                           k: int | None = None,
+                           _posbits: int | None = None):
     """Sort-free sweep 1 — bit-identical output to build_checkpoints
     without the full-stream argsort (the multi-Gbp build's dominant
     stage: ~166 s at 230 Mbp, ~45 min extrapolated to GRCh38 scale).
@@ -136,38 +152,58 @@ def build_checkpoints_fast(kmers: np.ndarray, y: np.ndarray, kbits: int,
     48-bit key (xlow << 32 | position) makes ONE np.minimum.at pass
     compute both the per-bucket min-x and its earliest-position
     tie-break at once (the reference's strictly-less update keeps the
-    first occurrence, src/sapling_api.h:409-434). Requires shift <= 31
-    and m < 2^32; falls back to build_checkpoints otherwise.
+    first occurrence, src/sapling_api.h:409-434). Positions pack into
+    max(32, bit_length(m)) key bits, so any m with
+    shift + posbits <= 63 works (wheat-class n >= 2^32 included);
+    falls back to build_checkpoints otherwise.
     With workers > 1 the stream is striped over forked workers
     (utils.parhost) and the dense per-bucket keys merged — the global
     max x lives in the overall max bucket, so any stripe touching it
     reports it as its own max (monotone x >> shift).
+
+    kmers=None derives the stream per chunk from `codes`+`k` inside the
+    workers (no 8-byte-per-position array at >4 Gbp scale); `y` only
+    needs fancy-indexing by the nb+1 winning positions, so a SplitInv
+    shim works as well as a flat array.
     """
     nb = 1 << buckets
     shift = kbits - buckets
-    m = kmers.shape[0]
-    if shift > 31 or m >= (1 << 32):
+    m = kmers.shape[0] if kmers is not None else codes.shape[0] - k + 1
+    # _posbits: test hook to exercise the wide-position keys a > 2^32
+    # position stream takes, at unit-test scale
+    posbits = _posbits or max(32, int(m).bit_length())
+    if shift + posbits > 63:
+        if kmers is None:  # tiny-bucket fallback; fine below ~2^32 only
+            from ..ops.pack import kmers_scan
+
+            kmers = kmers_scan(codes, k)
         return build_checkpoints(kmers, y, kbits, buckets)
     xlist = np.full(nb + 1, -1, dtype=np.int64)
     ylist = np.zeros(nb + 1, dtype=np.int64)
-    if m:
+    if m > 0:
+        ctx = {"shift": shift, "nb": nb, "chunk": chunk,
+               "posbits": posbits}
+        if kmers is not None:
+            ctx["kmers"] = kmers
+        else:
+            ctx["codes"], ctx["k"] = codes, k
         parts = parhost.run_forked(
             _ckpt_stripe, parhost.stripes_of(m, max(1, workers)),
-            {"kmers": kmers, "shift": shift, "nb": nb, "chunk": chunk},
-            workers=workers)
+            ctx, workers=workers)
         minkey = parts[0][0]
         for mk, _, _ in parts[1:]:
             np.minimum(minkey, mk, out=minkey)
         bstar = max(bm for _, bm, _ in parts)
         best = max(bb for _, bm, bb in parts if bm == bstar)
         sent = np.iinfo(np.int64).max
+        pmask = np.int64((1 << posbits) - 1)
         filled = np.flatnonzero(minkey != sent)
-        pos = minkey[filled] & np.int64(0xFFFFFFFF)
+        pos = minkey[filled] & pmask
         xlist[filled] = (filled.astype(np.int64) << shift) | (
-            minkey[filled] >> 32)
+            minkey[filled] >> posbits)
         ylist[filled] = y[pos].astype(np.int64)
-        xlist[nb] = (np.int64(bstar) << shift) | (best >> 32)
-        ylist[nb] = int(y[0xFFFFFFFF - (best & 0xFFFFFFFF)])
+        xlist[nb] = (np.int64(bstar) << shift) | (best >> posbits)
+        ylist[nb] = int(y[int(pmask) - (best & int(pmask))])
     xlist, ylist = _fill_empty(xlist, ylist, nb)
     return xlist, ylist
 
@@ -248,9 +284,13 @@ def _audit_span(span):
     copy-on-write via parhost.ctx())."""
     lo, hi = span
     c = parhost.ctx()
-    pred = predict_pwl(c["kmers"][lo:hi], c["xlist"], c["ylist"],
+    pred = predict_pwl(_stripe_kmers(c, lo, hi), c["xlist"], c["ylist"],
                        c["kbits"], c["buckets"], c["n"], xp=np)
-    y = c["inv"][lo:hi].astype(np.int64)
+    if "inv_hi" in c:
+        y = (c["inv"][lo:hi].astype(np.int64)
+             | (c["inv_hi"][lo:hi].astype(np.int64) << 32))
+    else:
+        y = c["inv"][lo:hi].astype(np.int64)
     fwd = c["fwd"]
     fwd_len = fwd.shape[0]
     yc = np.minimum(y, fwd_len - 1) if fwd_len else y * 0
@@ -260,7 +300,96 @@ def _audit_span(span):
     # the lcp>=k run (all intermediate ranks share the k-prefix).
     y_shift = np.where(y < pred, np.minimum(pred, y + runs), y)
     err = (y_shift - pred).astype(np.int32)
+    if c.get("hist"):
+        vals, counts = np.unique(err, return_counts=True)
+        return lo, vals, counts.astype(np.int64)
     return lo, err, int(np.count_nonzero(err == 0))
+
+
+class SplitInv:
+    """pos -> rank fancy-indexing shim over split (uint32 lo, uint8 hi)
+    limbs — the 5 B/position storage that keeps a >= 2^32-base build in
+    host RAM. Quacks like the flat int64 inv array everywhere the build
+    path indexes it (build_checkpoints_fast ylist gathers)."""
+
+    def __init__(self, lo: np.ndarray, hi: np.ndarray):
+        self.lo, self.hi = lo, hi
+        self.shape = lo.shape
+
+    def __getitem__(self, idx):
+        return (self.lo[idx].astype(np.int64)
+                | (self.hi[idx].astype(np.int64) << 32))
+
+
+def error_audit_hist(
+    codes: np.ndarray,
+    inv_lo: np.ndarray,
+    inv_hi: np.ndarray,
+    fwd: np.ndarray,
+    xlist: np.ndarray,
+    ylist: np.ndarray,
+    k: int,
+    buckets: int,
+    n: int,
+    chunk: int = 1 << 26,
+    workers: int = 1,
+):
+    """Sweep 2 for >= 2^32-base builds: same per-k-mer getError audit as
+    error_audit, but k-mers derive per chunk from `codes`, ranks come
+    from split limbs, and only the ERROR VALUE HISTOGRAM leaves the
+    workers — the int32 errors array alone would be 4 bytes x n at
+    wheat-class n. Returns (values int64[], counts int64[], perfect)
+    with values ascending; feed to error_stats_from_hist."""
+    m = codes.shape[0] - k + 1
+    acc: dict[int, int] = {}
+    for _lo, vals, counts in parhost.run_forked(
+            _audit_span, parhost.spans_of(m, chunk),
+            {"codes": codes, "k": k, "inv": inv_lo, "inv_hi": inv_hi,
+             "fwd": fwd, "xlist": xlist, "ylist": ylist,
+             "kbits": ALPHA * k, "buckets": buckets, "n": n, "hist": True},
+            workers=workers):
+        for v, cnt in zip(vals.tolist(), counts.tolist()):
+            acc[v] = acc.get(v, 0) + cnt
+    perfect = acc.pop(0, 0)
+    vals = np.array(sorted(acc), dtype=np.int64)
+    counts = np.array([acc[v] for v in vals.tolist()], dtype=np.int64)
+    return vals, counts, perfect
+
+
+def error_stats_from_hist(vals: np.ndarray, counts: np.ndarray,
+                          perfect: int, most_threshold: float = 0.95):
+    """error_stats computed from the (value, count) histogram — exact
+    order-statistic semantics of the sorted-array version (reference
+    errorStats, src/sapling_api.h:342-379), including its index
+    truncation: the p-th element of the sorted magnitudes is read off
+    the cumulative counts."""
+    vals = np.asarray(vals, dtype=np.int64)
+    counts = np.asarray(counts, dtype=np.int64)
+
+    def side(mag, cnt):
+        order = np.argsort(mag)
+        mag, cnt = mag[order], cnt[order]
+        size = int(cnt.sum())
+        if size == 0:
+            return 0, 0, 0, size
+        mx = int(mag[-1])
+        tot = int((mag * cnt).sum())
+        cum = np.cumsum(cnt)
+        most = int(mag[np.searchsorted(cum, int(most_threshold * size),
+                                       side="right")])
+        return mx, most, tot, size
+
+    pos, neg = vals > 0, vals < 0
+    max_over, most_over, tot_o, n_over = side(vals[pos], counts[pos])
+    max_under, most_under, tot_u, n_under = side(-vals[neg], counts[neg])
+    n_total = n_over + n_under + perfect
+    max_over = max(max_over, 2)
+    max_under = max(max_under, 2)
+    tot = tot_o + tot_u
+    mean_error = int(0.5 + tot // n_total) if n_total else 0
+    most_over = max(most_over, 1)
+    most_under = max(most_under, 1)
+    return max_over, max_under, mean_error, most_over, most_under
 
 
 def bucket_bounds(kmers: np.ndarray, errors: np.ndarray, kbits: int,

@@ -57,6 +57,12 @@ class SaplingIndex:
     prefix3: np.ndarray | None = None     # uint64 per-rank 21-base 3-bit
     lcpk_fwd: np.ndarray | None = None    # forward run of lcp>=k (aligner)
     lcpk_bwd: np.ndarray | None = None    # backward run of lcp>=k
+    # >= 2^32-base genomes (wheat axis, eval/TimingPlot/plot.py:16) store
+    # ranks/positions as split limbs: rev/inv hold the uint32 LOW 32 bits
+    # and these the uint8 bits 32.. (5 B/entry instead of 8; the int64
+    # view never materializes host- or device-side)
+    rev_hi: np.ndarray | None = None
+    inv_hi: np.ndarray | None = None
     _device: dict = field(default_factory=dict, repr=False)
 
     # --- construction -------------------------------------------------------
@@ -138,7 +144,7 @@ class SaplingIndex:
         names = np.array([nm for _, nm in self.chr_ends])
         artifacts.save_npz(
             path,
-            format_version=np.int64(3),
+            format_version=np.int64(4 if self.rev_hi is not None else 3),
             n=np.int64(self.n), k=np.int64(self.k),
             buckets=np.int64(self.buckets),
             packed=self.packed, rev=self.rev, inv=self.inv,
@@ -156,10 +162,15 @@ class SaplingIndex:
             lcpk_bwd=self.lcpk_bwd if self.lcpk_bwd is not None else np.zeros(0, np.uint8),
             bounds=(self.table.bounds if self.table.bounds is not None
                     else np.zeros(0, np.uint32)),
+            rev_hi=(self.rev_hi if self.rev_hi is not None
+                    else np.zeros(0, np.uint8)),
+            inv_hi=(self.inv_hi if self.inv_hi is not None
+                    else np.zeros(0, np.uint8)),
         )
 
-    # 1: pre-prefix3 artifacts; 2: +prefix3; 3: +per-bucket bounds
-    SUPPORTED_FORMATS = (1, 2, 3)
+    # 1: pre-prefix3 artifacts; 2: +prefix3; 3: +per-bucket bounds;
+    # 4: +split-limb rev_hi/inv_hi (>= 2^32-base genomes)
+    SUPPORTED_FORMATS = (1, 2, 3, 4)
 
     @classmethod
     def load(cls, path: str) -> "SaplingIndex":
@@ -190,6 +201,10 @@ class SaplingIndex:
                      else None),
             lcpk_fwd=z["lcpk_fwd"] if z["lcpk_fwd"].size else None,
             lcpk_bwd=z["lcpk_bwd"] if z["lcpk_bwd"].size else None,
+            rev_hi=(z["rev_hi"] if "rev_hi" in z and z["rev_hi"].size
+                    else None),
+            inv_hi=(z["inv_hi"] if "inv_hi" in z and z["inv_hi"].size
+                    else None),
         )
 
     def write_reference_artifacts(self, sa_path: str | None, sap_path: str | None,
@@ -236,12 +251,25 @@ class SaplingIndex:
         if not self._device:
             import jax.numpy as jnp
 
-            from ..ops.query import HalvesU32, PairedU32, Rows2D
+            from ..ops.query import (HalvesU32, PairedU32, Rows2D,
+                                     SplitRanks)
 
             rev = self.rev
             big = rev.shape[0] > (1 << 31) - 1
             bits = rev_bank_bits
-            if rev_pair:
+            if self.rev_hi is not None:
+                # >= 2^32-base split-limb storage: SplitRanks on device,
+                # each limb banked into 2^30-entry tuples past the int32
+                # gather range (ops.query.take_rank's tuple path)
+                def _bank(a):
+                    if a.shape[0] <= (1 << 31) - 1:
+                        return jnp.asarray(a)
+                    bank = 1 << 30
+                    return tuple(jnp.asarray(a[lo : lo + bank])
+                                 for lo in range(0, a.shape[0], bank))
+
+                rev = SplitRanks(lo=_bank(self.rev), hi=_bank(self.rev_hi))
+            elif rev_pair:
                 # flag-only: u64 args are materialized twice on device
                 # (X64Split temps) — OOMs v5e HBM at the >= 2^31-entry
                 # scale this targets (docs/PERFORMANCE.md)

@@ -30,6 +30,10 @@ def _lib() -> ctypes.CDLL:
     lib.stpu_lcp_kasai_i64.restype = ctypes.c_int
     i8p = ctypes.POINTER(ctypes.c_int8)
     u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.stpu_lcp_ge_k_fwd_i64.argtypes = [
+        u8p, i64p, ctypes.c_int64, ctypes.c_int64, u32p, u8p,
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.stpu_lcp_ge_k_fwd_i64.restype = ctypes.c_int
     lib.stpu_banded_cigar.argtypes = [
         i8p, i8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
@@ -116,6 +120,37 @@ def lcp_kasai(text: np.ndarray, sa: np.ndarray) -> tuple[np.ndarray, np.ndarray]
     if rc != 0:
         raise RuntimeError(f"stpu_lcp_kasai failed rc={rc}")
     return inv, lcp
+
+
+def lcp_ge_k_fwd_split(text: np.ndarray, sa: np.ndarray, k: int):
+    """Fused Kasai for n >= 2^32 genomes: returns (inv_lo uint32,
+    inv_hi uint8, fwd int32) — the split-limb inverse SA plus the
+    `lcp >= k` forward run lengths (fwd[r] over ranks, length n-1; same
+    convention as index.suffix_array.lcp_ge_k_runs) — WITHOUT
+    materializing the int64 LCP array (8n bytes it saves is what makes a
+    >4.3 Gbp host build fit in RAM). sa must be int64."""
+    a = _as_u8(text)
+    n = a.shape[0]
+    sa = np.ascontiguousarray(sa)
+    if sa.dtype != np.int64:
+        raise TypeError(f"sa must be int64, got {sa.dtype}")
+    inv_lo = np.empty(n, dtype=np.uint32)
+    inv_hi = np.empty(n, dtype=np.uint8)
+    fwd = np.zeros(max(n - 1, 0), dtype=np.int32)
+    if n == 0:
+        return inv_lo, inv_hi, fwd
+    lib = _lib()
+    rc = lib.stpu_lcp_ge_k_fwd_i64(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n, k,
+        inv_lo.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        inv_hi.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        fwd.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"stpu_lcp_ge_k_fwd failed rc={rc}")
+    return inv_lo, inv_hi, fwd
 
 
 def banded_cigar(ref_codes: np.ndarray, read_codes: np.ndarray, score: int,

@@ -209,4 +209,43 @@ int stpu_lcp_kasai_i64(const uint8_t* s, const int64_t* sa, int64_t n,
   return 0;
 }
 
+// Fused Kasai for n >= 2^32 genomes (wheat-scale axis,
+// reference eval/TimingPlot/plot.py:16): emits the split-limb inverse SA
+// (uint32 lo + uint8 hi = 5 B/rank — the SplitRanks storage the query
+// engine uses at this scale) and the `lcp >= k` FORWARD RUN LENGTHS
+// directly, never materializing the int64 LCP array (~8n bytes, which at
+// 4.7 Gbp would not fit host RAM next to sa + inv). fwd has n-1 entries:
+// fwd[r] = #consecutive ranks j >= r with LCP(j, j+1) >= k — the closed
+// form of the reference's k-RMQ (src/sa.h:33-57), matching
+// index.suffix_array.lcp_ge_k_runs. Supports n < 2^40 (hi is one byte).
+int stpu_lcp_ge_k_fwd_i64(const uint8_t* s, const int64_t* sa, int64_t n,
+                          int64_t k, uint32_t* inv_lo, uint8_t* inv_hi,
+                          int32_t* fwd) {
+  if (n < 0 || k <= 0 || n >= ((int64_t)1 << 40)) return 1;
+  if (n == 0) return 0;
+  for (int64_t r = 0; r < n; ++r) {
+    int64_t p = sa[r];
+    inv_lo[p] = (uint32_t)(r & 0xFFFFFFFFLL);
+    inv_hi[p] = (uint8_t)(r >> 32);
+  }
+  int64_t h = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t r = (int64_t)inv_lo[i] | ((int64_t)inv_hi[i] << 32);
+    if (r + 1 < n) {
+      int64_t j = sa[r + 1];
+      while (i + h < n && j + h < n && s[i + h] == s[j + h]) ++h;
+      fwd[r] = h >= k ? 1 : 0;
+    }
+    if (h > 0) --h;
+  }
+  // in-place 0/1 -> run length, right to left (lean reverse scan of
+  // index.suffix_array.lcp_ge_k_runs)
+  int32_t run = 0;
+  for (int64_t r = n - 2; r >= 0; --r) {
+    run = fwd[r] ? (run < INT32_MAX ? run + 1 : run) : 0;
+    fwd[r] = run;
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -86,7 +86,14 @@ class IndexShardedEngine:
         if rev_storage == "auto":
             rev_storage = ("split" if n > np.iinfo(np.uint32).max - 1
                            else "flat")
-        if rev_storage == "split":
+        if getattr(index, "rev_hi", None) is not None:
+            # v4 split-limb index: limbs are already stored separately —
+            # shard them directly, no 8-byte int64 temp at wheat scale
+            self.rev = SplitRanks(
+                lo=jax.device_put(_pad_1d(rev, total), shd),
+                hi=jax.device_put(_pad_1d(index.rev_hi, total), shd),
+            )
+        elif rev_storage == "split":
             rev64 = rev.astype(np.int64)
             self.rev = SplitRanks(
                 lo=jax.device_put(

@@ -80,6 +80,10 @@ def main(argv):
         log(f"{out} exists; nothing to do")
         return 0
 
+    if n > 0xFFFFFFFE:
+        return build_split(n, k, nb, workers, out,
+                           keep_inv=bool(int(kv.get("inv", 0))))
+
     # Stage cache: SA-IS + Kasai are the irreducible serial stages
     # (~65% of a from-scratch build); their lean outputs are cached so
     # an interrupted build — or a rebuild with different nb — resumes
@@ -163,6 +167,97 @@ def main(argv):
     idx = SaplingIndex(n=n, k=k, buckets=nb, packed=packed, rev=rev,
                        inv=inv32, table=table, chr_ends=[(n, "big1")],
                        codes=codes)
+    log(f"saving {out}")
+    idx.save(out)
+    log(f"TOTAL {time.time()-t0:.0f}s")
+    return 0
+
+
+def build_split(n, k, nb, workers, out, keep_inv=False):
+    """>= 2^32-base build: split-limb ranks end to end (the wheat axis,
+    reference eval/TimingPlot/plot.py:16 benches 14.3 Gbp there).
+
+    Never materializes an 8-byte-per-entry rank or LCP array: the fused
+    native Kasai (native.lcp_ge_k_fwd_split) emits uint32+uint8 inverse
+    limbs and int32 lcp>=k runs directly; k-mers derive per chunk from
+    the 2-bit codes inside fork workers (index.pwl build_checkpoints_fast
+    codes path); the audit streams an error-value histogram
+    (error_audit_hist) instead of a 4n-byte errors array. Peak host RAM
+    at 4.7 Gbp ~= 84 GB (SA-IS + fused Kasai stage); later stages stay
+    under ~55 GB. keep_inv persists the inverse limbs in the artifact
+    (the query engine only needs rev; +~5n bytes of disk)."""
+    from sapling_tpu.index.pwl import (PwlTable, SplitInv,
+                                       build_checkpoints_fast,
+                                       error_audit_hist,
+                                       error_stats_from_hist)
+    from sapling_tpu.index.sapling import SaplingIndex
+    from sapling_tpu.native import build_suffix_array, lcp_ge_k_fwd_split
+    from sapling_tpu.ops import pack as packops
+    from sapling_tpu.sim.genomes import benchmark_genome
+
+    t0 = time.time()
+    stage = os.path.join(os.path.dirname(out), f"stage_{n}_k{k}_split.npz")
+    if os.path.exists(stage):
+        log(f"loading stage cache {stage}")
+        z = np.load(stage)
+        codes, inv_lo, inv_hi, fwd = (z["codes"], z["inv_lo"], z["inv_hi"],
+                                      z["fwd"])
+        del z
+    else:
+        log(f"generating {n/1e9:.2f} Gbp benchmark genome")
+        seq = benchmark_genome(n)
+        log(f"genome done ({time.time()-t0:.0f}s); SA-IS (int64)")
+        t1 = time.time()
+        sa = build_suffix_array(seq, np.int64)
+        log(f"SA-IS done ({time.time()-t1:.0f}s); fused Kasai "
+            f"(split inv + lcp>=k runs)")
+        t1 = time.time()
+        inv_lo, inv_hi, fwd = lcp_ge_k_fwd_split(seq, sa, k)
+        del sa
+        gc.collect()
+        log(f"fused Kasai done ({time.time()-t1:.0f}s)")
+        codes = packops.encode_bases(seq)
+        del seq
+        gc.collect()
+        log(f"saving stage cache {stage}")
+        np.savez(stage, codes=codes, inv_lo=inv_lo, inv_hi=inv_hi, fwd=fwd)
+
+    log(f"PWL checkpoints (codes-derived k-mers, {workers} workers)")
+    t1 = time.time()
+    xlist, ylist = build_checkpoints_fast(
+        None, SplitInv(inv_lo, inv_hi), 2 * k, nb, workers=workers,
+        codes=codes, k=k)
+    log(f"checkpoints done ({time.time()-t1:.0f}s); streamed error audit")
+    t1 = time.time()
+    vals, counts, perfect = error_audit_hist(
+        codes, inv_lo, inv_hi, fwd, xlist, ylist, k, nb, n,
+        workers=workers)
+    del fwd
+    gc.collect()
+    mo, mu, me, so, su = error_stats_from_hist(vals, counts, perfect)
+    log(f"audit done ({time.time()-t1:.0f}s): max=({mo},{mu}) "
+        f"most=({so},{su}) mean={me} perfect={perfect}")
+
+    table = PwlTable(buckets=nb, xlist=xlist, ylist=ylist, max_over=mo,
+                     max_under=mu, mean_error=me, most_over=so,
+                     most_under=su, bounds=None)
+    log("building split rev (chunked scatter) + packing genome")
+    rev_lo = np.empty(n, dtype=np.uint32)
+    rev_hi = np.empty(n, dtype=np.uint8)
+    chunk = 1 << 27
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        r = (inv_lo[lo:hi].astype(np.int64)
+             | (inv_hi[lo:hi].astype(np.int64) << 32))
+        pos = np.arange(lo, hi, dtype=np.int64)
+        rev_lo[r] = (pos & 0xFFFFFFFF).astype(np.uint32)
+        rev_hi[r] = (pos >> 32).astype(np.uint8)
+    packed = packops.pack_codes(codes, pad_words=16)
+    idx = SaplingIndex(
+        n=n, k=k, buckets=nb, packed=packed, rev=rev_lo, rev_hi=rev_hi,
+        inv=inv_lo if keep_inv else np.zeros(0, np.uint32),
+        inv_hi=inv_hi if keep_inv else None, table=table,
+        chr_ends=[(n, "big1")], codes=codes)
     log(f"saving {out}")
     idx.save(out)
     log(f"TOTAL {time.time()-t0:.0f}s")

@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Regenerate README's measured-performance table from docs/measured.json.
+
+One source of truth for the headline numbers (VERDICT r2: README, BENCH
+and docs drifted apart). Update docs/measured.json with freshly measured
+figures, then:
+
+    python tools/gen_perf_table.py
+
+rewrites the block between `<!-- perf:begin -->` and `<!-- perf:end -->`
+in README.md. bench.py emits the same scales in its JSON line, so
+BENCH_r*.json stays comparable.
+"""
+
+import json
+import os
+import re
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def fmt_qps(v):
+    return f"{v/1e6:.2f}M q/s" if v >= 1e6 else f"{v/1e3:.0f}k q/s"
+
+
+def main():
+    with open(os.path.join(_ROOT, "docs", "measured.json")) as f:
+        data = json.load(f)
+    rows = []
+    for row in data["scales"]:
+        speed = row["qps"] / row["ref_qps"]
+        bs = row["qps"] / row["onchip_binsearch_qps"]
+        rows.append(
+            f"| {row['label']} | **{fmt_qps(row['qps'])}** ({row['config']}) "
+            f"| {fmt_qps(row['ref_qps'])} | {speed:,.1f}× | {bs:.1f}× |")
+    table = "\n".join([
+        "| Genome scale | This framework | Reference best (1 CPU thread) "
+        "| Speedup | vs on-chip binary search |",
+        "|---|---|---|---|---|",
+        *rows,
+        "",
+        data["footnote"],
+        f"\n*Measured {data['measured_on']}; regenerate with "
+        f"`python tools/gen_perf_table.py` from docs/measured.json.*",
+    ])
+    readme = os.path.join(_ROOT, "README.md")
+    src = open(readme).read()
+    out, nsub = re.subn(
+        r"(<!-- perf:begin -->\n).*?(\n<!-- perf:end -->)",
+        lambda m: m.group(1) + table + m.group(2), src, flags=re.S)
+    if nsub != 1:
+        sys.exit("README.md perf markers not found")
+    open(readme, "w").write(out)
+    print("README.md performance table regenerated")
+
+
+if __name__ == "__main__":
+    main()
