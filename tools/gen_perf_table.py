@@ -47,8 +47,8 @@ def main():
     readme = os.path.join(_ROOT, "README.md")
     src = open(readme).read()
     out, nsub = re.subn(
-        r"(<!-- perf:begin -->\n).*?(\n<!-- perf:end -->)",
-        lambda m: m.group(1) + table + m.group(2), src, flags=re.S)
+        r"(<!-- perf:begin -->\n).*?(<!-- perf:end -->)",
+        lambda m: m.group(1) + table + "\n" + m.group(2), src, flags=re.S)
     if nsub != 1:
         sys.exit("README.md perf markers not found")
     open(readme, "w").write(out)
