@@ -72,3 +72,58 @@ def pack_bitmask(bits: np.ndarray, pad_words: int = 4) -> np.ndarray:
     shifts = np.uint32(31) - np.arange(32, dtype=np.uint32)
     words = np.bitwise_or.reduce(buf << shifts, axis=1).astype(np.uint32)
     return np.concatenate([words, np.zeros(pad_words, dtype=np.uint32)])
+
+
+def build_llcp_rlcp(lcp: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """llcp/rlcp midpoint-tree tables for the Manber-Myers pruned binary
+    search over the rank interval (0, n-1).
+
+    llcp[mid] = min lcp[lo..mid-1] and rlcp[mid] = min lcp[mid..hi-1]
+    for every midpoint mid of the (lo, hi) recursion tree — the
+    semantics of the reference's calcLLCP/calcRLCP
+    (src/binarysearch.cpp:60-88), except built over the interval the
+    search actually uses: the reference initializes over (0, n-k)
+    (:84-86) yet searches (0, n-1) (:163), a latent mismatch in code its
+    own bQuery never calls.
+
+    Level-order traversal with a sparse range-min table: O(n log n) time
+    and memory (int32), fine for baseline-scale genomes.
+    """
+    lcp = np.asarray(lcp)
+    m = lcp.shape[0]
+    assert m == n - 1, (m, n)
+    # sparse table: sp[j][i] = min lcp[i : i + 2^j]
+    levels = [lcp.astype(np.int32)]
+    j = 1
+    while (1 << j) <= m:
+        prev = levels[-1]
+        half = 1 << (j - 1)
+        levels.append(np.minimum(prev[:-half], prev[half:]))
+        j += 1
+
+    def rmin(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        """min lcp[a:b] vectorized; every range is nonempty here."""
+        w = b - a
+        j = (np.log2(np.maximum(w, 1))).astype(np.int64)
+        out = np.empty(a.shape[0], np.int32)
+        for jj in np.unique(j):
+            sel = j == jj
+            sp = levels[jj]
+            out[sel] = np.minimum(sp[a[sel]], sp[b[sel] - (1 << jj)])
+        return out
+
+    llcp = np.zeros(n, dtype=np.int32)
+    rlcp = np.zeros(n, dtype=np.int32)
+    los = np.array([0], dtype=np.int64)
+    his = np.array([n - 1], dtype=np.int64)
+    while los.size:
+        sel = his > los + 2
+        los, his = los[sel], his[sel]
+        if not los.size:
+            break
+        mids = (los + his) >> 1
+        llcp[mids] = rmin(los, mids)
+        rlcp[mids] = rmin(mids, his)
+        los = np.concatenate([los, mids])
+        his = np.concatenate([mids, his])
+    return llcp, rlcp

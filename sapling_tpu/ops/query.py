@@ -41,6 +41,9 @@ class Probe(NamedTuple):
     match: jnp.ndarray    # bool [B]: full L-base match at pos
     smaller: jnp.ndarray  # bool [B]: suffix < query (incl. running off the end)
     off_end: jnp.ndarray  # bool [B]: comparison ran off the genome end
+    lcp: object = None    # int32 [B] LCP(query, suffix) capped at length
+    #                       (set by the packed/prefix probes; None on the
+    #                       3-bit path, whose callers never need it)
 
 
 def take_slice(arr, idx, m: int):
@@ -205,7 +208,7 @@ def probe_at(packed, pos, q_words_t, *, n: int, length: int) -> Probe:
     off_end = ~match & (lcp == rem) & (rem < length)
     q_gt_ref = qw > aw  # decided at the first differing base (big-endian pack)
     smaller = off_end | (~match & q_gt_ref)
-    return Probe(match=match, smaller=smaller, off_end=off_end)
+    return Probe(match=match, smaller=smaller, off_end=off_end, lcp=lcp)
 
 
 def _clz64(x: jnp.ndarray) -> jnp.ndarray:
@@ -366,7 +369,8 @@ def make_rank_probe(packed, rev, prefix, q_words, *, n: int, length: int,
             off_end = ~match & (lcp == rem) & (rem < length)
             q_gt = (qhi > phi) | (hi_eq & (qlo > plo))
             smaller = off_end | (~match & q_gt)
-            return pos, Probe(match=match, smaller=smaller, off_end=off_end)
+            return pos, Probe(match=match, smaller=smaller,
+                              off_end=off_end, lcp=lcp)
 
         return probe
 
@@ -1380,3 +1384,92 @@ def binsearch_batch(packed, rev, q_words, *, n: int, length: int,
                                  n=n, length=length, idt=idt, take=take)
     res, _ = _masked_binary_search(probe_rank, lo, hi, res, resolved)
     return res
+
+
+def fancy_binsearch_batch(packed, rev, llcp, rlcp, q_words, *, n: int,
+                          length: int, prefix=None):
+    """Manber-Myers llcp/rlcp-pruned binary search, batched.
+
+    The reference ships this as `fancyBinarySearch`
+    (src/binarysearch.cpp:90-153) but its own bQuery never calls it
+    (:158-165) — dead code with a latent bug: the llcp/rlcp midpoint
+    tree is initialized over (0, n-k) (:84-86) while the search interval
+    is (0, n-1). This implementation follows the intended algorithm with
+    tables built over the search interval
+    (index.suffix_array.build_llcp_rlcp).
+
+    Per round every lane gathers two small int32 table entries and
+    probes the genome ONLY when its llcp/rlcp equals its boundary LCP —
+    the classic trick that skips most genome comparisons. Same
+    O(log2 n)+2 fixed trip count as the plain search (each branch
+    halves the interval). Search-space variant for the baseline
+    competition; requires n < 2^31 (the tables are int32-indexed flat).
+    """
+    idt = _state_dtype(_rev_dtype(rev))
+    take = take_rank
+    b = q_words.shape[1]
+    res = jnp.full((b,), -1, dtype=idt)
+
+    # bQuery pre-probes of rank 0 / n-1 (binarysearch.cpp:158-163); their
+    # LCPs seed loLcp/hiLcp
+    idx0 = take(rev, jnp.zeros((b,), jnp.int32)).astype(idt)
+    p0 = probe_at(packed, idx0, q_words, n=n, length=length)
+    res = jnp.where(p0.match, idx0, res)
+    resolved = p0.match
+    idx1 = take(rev, jnp.full((b,), n - 1, jnp.int64)).astype(idt)
+    p1 = probe_at(packed, idx1, q_words, n=n, length=length)
+    hit = ~resolved & p1.match
+    res = jnp.where(hit, idx1, res)
+    resolved = resolved | hit
+
+    probe = make_rank_probe(packed, rev, prefix, q_words,
+                            n=n, length=length, idt=idt, take=take)
+    lo = res * 0
+    hi = res * 0 + jnp.array(n - 1, idt)
+    lo_lcp = p0.lcp.astype(jnp.int32)
+    hi_lcp = p1.lcp.astype(jnp.int32)
+    base_rank = jnp.full((b,), -1, dtype=idt)
+    llcp = jnp.asarray(llcp)
+    rlcp = jnp.asarray(rlcp)
+
+    def body(_, st):
+        lo, hi, lo_lcp, hi_lcp, res, resolved, base_rank = st
+        live = ~resolved & (base_rank < 0)
+        nf = live & (hi == lo + 1)          # :93 -> n+1 sentinel -> -1
+        resolved = resolved | nf
+        b2 = live & ~nf & (hi == lo + 2)    # :94 -> rank lo+1, unprobed
+        base_rank = jnp.where(b2, lo + 1, base_rank)
+        active = live & ~nf & ~b2
+
+        mid = lo + ((hi - lo) >> 1)
+        m32 = jnp.clip(mid, 0, n - 1).astype(jnp.int32)
+        L = jnp.take(llcp, m32).astype(jnp.int32)
+        R = jnp.take(rlcp, m32).astype(jnp.int32)
+        condA = lo_lcp >= hi_lcp
+        r_np = active & jnp.where(condA, L > lo_lcp, R < hi_lcp)
+        l_np = active & jnp.where(condA, L < lo_lcp, R > hi_lcp)
+        need = active & ~r_np & ~l_np       # llcp/rlcp == boundary: probe
+        pos, p = probe(jnp.where(need, mid, jnp.zeros_like(mid)))
+        nlcp = p.lcp.astype(jnp.int32)
+        m_hit = need & p.match
+        res = jnp.where(m_hit, pos.astype(idt), res)
+        resolved = resolved | m_hit
+        pr = need & ~p.match & p.smaller    # suffix too small -> right
+        pl = need & ~p.match & ~p.smaller
+        lo = jnp.where(r_np | pr, mid, lo)
+        hi = jnp.where(l_np | pl, mid, hi)
+        lo_lcp = jnp.where(~condA & r_np, R, lo_lcp)
+        lo_lcp = jnp.where(pr, nlcp, lo_lcp)
+        hi_lcp = jnp.where(condA & l_np, L, hi_lcp)
+        hi_lcp = jnp.where(pl, nlcp, hi_lcp)
+        return lo, hi, lo_lcp, hi_lcp, res, resolved, base_rank
+
+    trips = max(int(n - 1).bit_length() + 2, 2)
+    _, _, _, _, res, resolved, base_rank = jax.lax.fori_loop(
+        0, trips, body, (lo, hi, lo_lcp, hi_lcp, res, resolved, base_rank))
+    # base-case lanes return rev[lo+1] UNverified, exactly like the
+    # reference's base case (and the plain search's)
+    has_base = base_rank >= 0
+    pos_base = take(rev, jnp.where(has_base, base_rank,
+                                   jnp.zeros_like(base_rank))).astype(idt)
+    return jnp.where(has_base, pos_base, res)
