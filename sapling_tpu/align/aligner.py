@@ -135,9 +135,18 @@ class SeedExtendAligner:
 
     def align_block(self, reads: list) -> list[AlignedRead]:
         """Align a block of FASTQ reads; returns per-read results in input
-        order."""
+        order. Composition of the three pipeline stages (encode -> seed
+        query -> finish); align_blocks coalesces the middle stage across
+        blocks."""
+        prep = self._encode_block(reads)
+        (positions,) = self._query_seeds([prep])
+        return self._finish_block(prep, positions)
+
+    def _encode_block(self, reads: list) -> dict:
+        """Host-only stage 1: per-block byte matrices for both strands,
+        seed k-mers, and the too-short-read results skeleton."""
         idx, cfg = self.idx, self.cfg
-        k, flank, mh = idx.k, cfg.flanking, cfg.max_hits
+        k = idx.k
         results: list[AlignedRead | None] = [None] * len(reads)
 
         _t = [time.perf_counter()]
@@ -207,12 +216,82 @@ class SeedExtendAligner:
         gidx = qpos_s[:, None] + np.arange(k)[None, :]
         seed_kmers = codes_mat[ei_s[:, None], gidx]    # [S, k]
         valid = seedable_mat[ei_s[:, None], gidx].all(axis=1)
-        positions = np.full(ne * ns, -1, dtype=np.int64)
         _tick("encode")
-        if valid.any():
-            positions[valid] = idx.query_positions(seed_kmers[valid],
-                                                   self._seed_qcfg())
-        _tick("query(dev)")
+        return dict(reads=reads, results=results, nr=nr,
+                    codes_mat=codes_mat, lens=lens,
+                    read_of_entry=read_of_entry,
+                    strand_of_entry=strand_of_entry,
+                    ei_s=ei_s, qpos_s=qpos_s,
+                    seed_kmers=seed_kmers, valid=valid)
+
+    def _query_seeds(self, preps: list[dict],
+                     pad_shapes: bool = True) -> list[np.ndarray]:
+        """Stage 2: ONE plquery dispatch over the concatenated valid seed
+        k-mers of one or more encoded blocks; returns each block's [S]
+        position array (-1 for invalid seeds).
+
+        Coalescing across blocks amortizes the per-dispatch RPC cost that
+        bounds the seed-query phase at the measured block size
+        (docs/PERFORMANCE.md "Aligner block anatomy") and widens the lane
+        count the compaction cascade works with. The batch is padded to a
+        few-significant-bits bucket so plquery_batch (shape-specialized
+        jit) compiles O(log B) variants instead of one per distinct valid
+        count; pad lanes repeat row 0 and are discarded. Per-lane results
+        are independent of batch composition (the engine's bit-parity
+        guarantee, tests/test_query.py), so coalescing and padding leave
+        every position byte-identical."""
+        kms = [p["seed_kmers"][p["valid"]] for p in preps]
+        counts = [len(x) for x in kms]
+        tot = sum(counts)
+        outs: list[np.ndarray] = []
+        pos_all = None
+        if tot:
+            allk = kms[0] if len(kms) == 1 else np.concatenate(kms, axis=0)
+            if pad_shapes:
+                want = _shape_bucket(tot)
+                if want > tot:
+                    allk = np.concatenate(
+                        [allk,
+                         np.broadcast_to(allk[:1], (want - tot,
+                                                    allk.shape[1]))])
+            t0 = time.perf_counter()
+            pos_all = self.idx.query_positions(allk, self._seed_qcfg())
+            self.phase_seconds["query(dev)"] = (
+                self.phase_seconds.get("query(dev)", 0.0)
+                + time.perf_counter() - t0)
+        off = 0
+        for p, c in zip(preps, counts):
+            positions = np.full(len(p["valid"]), -1, dtype=np.int64)
+            if c:
+                positions[p["valid"]] = pos_all[off:off + c]
+            off += c
+            outs.append(positions)
+        return outs
+
+    def _finish_block(self, prep: dict, positions: np.ndarray
+                      ) -> list[AlignedRead]:
+        """Stage 3: seed verification + hit counting, candidate SW,
+        winner replay, and native traceback for one encoded block."""
+        idx, cfg = self.idx, self.cfg
+        k, flank, mh = idx.k, cfg.flanking, cfg.max_hits
+        reads = prep["reads"]
+        results = prep["results"]
+        nr = prep["nr"]
+        codes_mat = prep["codes_mat"]
+        lens = prep["lens"]
+        read_of_entry = prep["read_of_entry"]
+        strand_of_entry = prep["strand_of_entry"]
+        ei_s = prep["ei_s"]
+        qpos_s = prep["qpos_s"]
+        seed_kmers = prep["seed_kmers"]
+
+        _t = [time.perf_counter()]
+
+        def _tick(name):
+            now = time.perf_counter()
+            self.phase_seconds[name] = (
+                self.phase_seconds.get(name, 0.0) + now - _t[0])
+            _t[0] = now
 
         # --- phase 2: verify + hit counting ---------------------------------
         ref_pos = positions
@@ -223,7 +302,7 @@ class SeedExtendAligner:
                 + np.arange(k)[None, :]
             ]
             exact = (window == seed_kmers[ok]).all(axis=1)
-            tmp = np.zeros(ne * ns, bool)
+            tmp = np.zeros(len(positions), bool)
             tmp[np.flatnonzero(ok)[exact]] = True
             ok = tmp
         sa_pos = np.where(ok, idx.inv[np.clip(ref_pos, 0, idx.n - 1)], 0)
@@ -441,17 +520,21 @@ class SeedExtendAligner:
         _tick("finish")
         return results
 
-    def align_blocks(self, blocks, workers: int = 2):
-        """Pipeline align_block over an iterable of read blocks with a
-        small thread pool, yielding per-block result lists in input order.
+    def align_blocks(self, blocks, workers: int = 2, coalesce: int = 4):
+        """Pipeline the three stages over an iterable of read blocks,
+        yielding per-block result lists in input order.
 
-        Block i+1's device dispatches (seed query, forward SW) overlap
-        block i's host phases (hit counting, winner replay, native
-        traceback) — the phases alternate host/device, so two in-flight
-        blocks keep both sides busy. align_block is stateless w.r.t. the
-        read stream (the index is read-only); JAX dispatch and the native
-        batch calls are thread-safe. phase_seconds still accumulates but
-        phases from concurrent blocks overlap in wall time."""
+        The caller's thread encodes blocks and runs ONE coalesced
+        seed-query dispatch per `coalesce` blocks (_query_seeds); finish
+        stages (hit counting, candidate SW, winner replay, native
+        traceback) run in a small thread pool, overlapping the next
+        group's encode + query. Device dispatches from in-flight finishes
+        interleave with the query dispatch — host and device both stay
+        busy, and the seed query pays one RPC per group instead of one
+        per block. All stages are stateless w.r.t. the read stream (the
+        index is read-only); JAX dispatch and the native batch calls are
+        thread-safe. phase_seconds still accumulates but phases from
+        concurrent blocks overlap in wall time."""
         import collections
         from concurrent.futures import ThreadPoolExecutor
 
@@ -460,15 +543,28 @@ class SeedExtendAligner:
         self.idx.device_arrays()
         with ThreadPoolExecutor(max_workers=workers) as ex:
             pending = collections.deque()
+            group: list[dict] = []
+
+            def _flush():
+                if not group:
+                    return
+                for prep, pos in zip(group, self._query_seeds(group)):
+                    pending.append(ex.submit(self._finish_block, prep, pos))
+                group.clear()
+
             for blk in blocks:
-                pending.append(ex.submit(self.align_block, blk))
-                while len(pending) > workers:
+                group.append(self._encode_block(blk))
+                if len(group) >= coalesce:
+                    _flush()
+                while len(pending) > workers + coalesce:
                     yield pending.popleft().result()
+            _flush()
             while pending:
                 yield pending.popleft().result()
 
     def align_fastq(self, fastq_path, out, cl: str = "align",
-                    block: int = 8192, workers: int = 2) -> None:
+                    block: int = 8192, workers: int = 2,
+                    coalesce: int = 4) -> None:
         """Full FASTQ -> SAM pipeline (reference: src/align.cpp:193-224).
         SAM records are written strictly in input-read order (byte parity
         with the reference's serial stream) while blocks are aligned
@@ -491,12 +587,22 @@ class SeedExtendAligner:
             close = True
         try:
             out.write(sam_header(self.idx.chr_ends, cl))
-            for ars in self.align_blocks(_blocks(), workers=workers):
+            for ars in self.align_blocks(_blocks(), workers=workers,
+                                         coalesce=coalesce):
                 for ar in ars:
                     out.write(ar.to_sam())
         finally:
             if close:
                 out.close()
+
+
+def _shape_bucket(n: int, min_size: int = 1024) -> int:
+    """Round a batch size up to a 4-significant-bit bucket: bounded
+    distinct jit shapes (<=8 per octave), <=~7% padding waste."""
+    if n <= min_size:
+        return min_size
+    step = 1 << (n.bit_length() - 4)
+    return -(-n // step) * step
 
 
 def _as_str(seq) -> str:

@@ -64,15 +64,21 @@ def main(argv):
              for i in range(n_reads)]
     aligner = SeedExtendAligner(idx, AlignerConfig())
 
-    # warm compiles on the first block
-    aligner.align_block(reads[: min(block, n_reads)])
-    aligner.phase_seconds.clear()
     workers = int(kv.get("workers", 2))
+    coalesce = int(kv.get("coalesce", 4))
+    # warm compiles on one full coalesce group (the timed loop reuses the
+    # group-sized seed-query shape and the per-block SW shapes)
+    warm = (reads[lo : lo + block]
+            for lo in range(0, min(coalesce * block, n_reads), block))
+    for _ in aligner.align_blocks(warm, workers=workers, coalesce=coalesce):
+        pass
+    aligner.phase_seconds.clear()
     t0 = time.time()
     n_aligned = n_good = 0
     blocks = (reads[lo : lo + block] for lo in range(0, n_reads, block))
     ri = 0
-    for out in aligner.align_blocks(blocks, workers=workers):
+    for out in aligner.align_blocks(blocks, workers=workers,
+                                    coalesce=coalesce):
         for ar in out:
             if ar.aligned:
                 n_aligned += 1
