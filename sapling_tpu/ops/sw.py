@@ -164,6 +164,22 @@ def sw_pass(
     }
 
 
+def _pad_bucket(b0: int, min_size: int = 256) -> int:
+    """Candidate-axis pad bucket for the hot from-genome SW paths:
+    round up to a 4-significant-bit bucket (always a multiple of 256,
+    the Pallas BB=128 grid constraint x2). Next-pow-2 padding wasted up
+    to 2x DP compute on pad lanes (an 8192-read block's ~82k candidates
+    padded to 131k; 16384-read blocks fell off a 2x cliff at 164k->262k
+    — the measured block-size sweep cliff in docs/PERFORMANCE.md); this
+    caps waste at ~12.5% while keeping distinct jit/Pallas shapes
+    bounded (<=16 per octave, each a one-time compile covered by a
+    corpus-shaped warmup)."""
+    if b0 <= min_size:
+        return min_size
+    step = max(256, 1 << (b0.bit_length() - 4))
+    return -(-b0 // step) * step
+
+
 def sw_align_ends(query, qlen, ref, rlen, *, match=2, mismatch=2,
                   gap_open=3, gap_extend=1, mask_len=15, use_pallas=None,
                   forward_only=False):
@@ -357,7 +373,7 @@ def sw_align_ends_from_genome(packed, codes_mat, cand_ei, qlen, lo, rlen,
     lo = np.asarray(lo, np.int64)
     rlen = np.asarray(rlen, np.int32)
     b0 = cand_ei.shape[0]
-    b = max(256, 1 << (b0 - 1).bit_length())
+    b = _pad_bucket(b0)
     rmax = ((int(rlen.max()) if b0 else 1) + 31) // 32 * 32
     cand_ei = np.pad(cand_ei, (0, b - b0))
     qlen = np.pad(qlen, (0, b - b0), constant_values=1)
@@ -478,7 +494,7 @@ def sw_align_winner_from_genome(packed, codes_mat, cand_ei, qlen, lo, rlen,
     rlen = np.asarray(rlen, np.int32)
     cand_rd = np.asarray(cand_rd, np.int32)
     b0 = cand_ei.shape[0]
-    b = max(256, 1 << (b0 - 1).bit_length())
+    b = _pad_bucket(b0)
     nrp = max(256, 1 << (nr - 1).bit_length())
     rmax = ((int(rlen.max()) if b0 else 1) + 31) // 32 * 32
     cand_ei = np.pad(cand_ei, (0, b - b0))

@@ -64,12 +64,15 @@ def main(argv):
              for i in range(n_reads)]
     aligner = SeedExtendAligner(idx, AlignerConfig())
 
-    workers = int(kv.get("workers", 2))
-    coalesce = int(kv.get("coalesce", 4))
-    # warm compiles on one full coalesce group (the timed loop reuses the
-    # group-sized seed-query shape and the per-block SW shapes)
-    warm = (reads[lo : lo + block]
-            for lo in range(0, min(coalesce * block, n_reads), block))
+    workers = int(kv.get("workers", 3))
+    coalesce = int(kv.get("coalesce", 1))
+    # warm compiles with ONE full untimed pass over the corpus: the tail
+    # group's seed-query batch is a different jit shape than the full
+    # groups', the axon backend's remote compiles cost ~38 s each, and
+    # the persistent compile cache does not capture them — a partial
+    # warmup once leaked a tail-shape compile into the timed loop and
+    # read as an 8.6x aligner regression.
+    warm = (reads[lo : lo + block] for lo in range(0, n_reads, block))
     for _ in aligner.align_blocks(warm, workers=workers, coalesce=coalesce):
         pass
     aligner.phase_seconds.clear()
