@@ -34,6 +34,15 @@ def main():
         rows.append(
             f"| {row['label']} | **{fmt_qps(row['qps'])}** ({row['config']}) "
             f"| {fmt_qps(row['ref_qps'])} | {speed:,.1f}× | {bs:.1f}× |")
+    al = data.get("aligner")
+    al_lines = [] if al is None else [
+        "",
+        f"Aligner (FASTQ→SAM, {al['label']}): "
+        f"**{al['reads_per_s']:,} reads/s** ({al['config']}) vs the "
+        f"reference aligner's {al['ref_reads_per_s']:,} reads/s — "
+        f"**{al['reads_per_s']/al['ref_reads_per_s']:.1f}×**. "
+        f"{al['note']}.",
+    ]
     table = "\n".join([
         "| Genome scale | This framework | Reference best (1 CPU thread) "
         "| Speedup | vs on-chip binary search |",
@@ -41,6 +50,7 @@ def main():
         *rows,
         "",
         data["footnote"],
+        *al_lines,
         f"\n*Measured {data['measured_on']}; regenerate with "
         f"`python tools/gen_perf_table.py` from docs/measured.json.*",
     ])
