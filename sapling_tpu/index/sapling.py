@@ -274,13 +274,16 @@ class SaplingIndex:
                 # (X64Split temps) — OOMs v5e HBM at the >= 2^31-entry
                 # scale this targets (docs/PERFORMANCE.md)
                 rev = PairedU32.pack(rev)
-            elif rev_rows2d:
-                # ONE 2-D-indexed gather per rank lookup, zero overhead;
-                # cost vs HalvesU32's two 1-D takes is measured by
-                # tools/microbench_gather.py per backend
+            elif rev_rows2d or (big and bits is None
+                                and rev_rows2d is not False):
+                # ONE 2-D-indexed gather per rank lookup, zero overhead —
+                # the default at > 2^31 ranks: measured 1.31M vs 1.11M
+                # q/s (+18%) over HalvesU32 on the 3.1 Gbp bench
+                # (docs/PERFORMANCE.md); per-backend gather-law numbers
+                # in tools/microbench_gather.py
                 rev = Rows2D.pack(rev)
             elif big and bits is None:
-                rev = HalvesU32.pack(rev)  # 2 gather ops, no overhead
+                rev = HalvesU32.pack(rev)  # 2 gathers; rev_rows2d=False
             elif bits is not None:
                 bank = 1 << bits
                 rev = tuple(

@@ -49,13 +49,14 @@ NEG = jnp.int32(-(1 << 30))
 @functools.partial(
     jax.jit,
     static_argnames=("match", "mismatch", "gap_open", "gap_extend",
-                     "mask_len", "pad_to", "second_inclusive"),
+                     "mask_len", "pad_to", "second_inclusive",
+                     "score_only"),
 )
 def sw_pass(
     query, qlen, ref, rlen, terminate,
     *, match: int = 2, mismatch: int = 2, gap_open: int = 3,
     gap_extend: int = 1, mask_len: int = 15, pad_to: int = 16,
-    second_inclusive: bool = False,
+    second_inclusive: bool = False, score_only: bool = False,
 ):
     """One SW scoring pass over B candidate pairs.
 
@@ -89,6 +90,41 @@ def sw_pass(
     padlen = ((qlen + pad_to - 1) // pad_to) * pad_to
     live_row = jidx < padlen[:, None]                       # real + SSE pads
     ge_j = gap_extend * jidx                                # decay offsets
+
+    if score_only:
+        # Score-value-only sweep: per-cell running max instead of the
+        # per-column reductions + best-column snapshot — the global max
+        # VALUE is all the fused winner program needs for every
+        # non-winner candidate (terminate unsupported: value-exact
+        # early-out is a reverse-pass concern). Returns {"score"} only;
+        # the value is bit-identical to the full pass's score (same
+        # recurrence, same masks).
+        def column_s(carry, i):
+            h, e, best_h = carry
+            rbase = refi[:, i][:, None]
+            sub = jnp.where((q == rbase) & (q < 4), match, -mismatch)
+            sub = jnp.where(valid_row, sub, 0)
+            diag = jnp.pad(h[:, :-1], ((0, 0), (1, 0)))
+            h_nof = jnp.maximum(jnp.maximum(diag + sub, e), 0)
+            h_nof = jnp.where(live_row, h_nof, 0)
+            a = jnp.pad(h_nof[:, :-1] - gap_open, ((0, 0), (1, 0)),
+                        constant_values=int(NEG))
+            f = jax.lax.cummax(a + ge_j, axis=1) - ge_j
+            h_new = jnp.where(live_row, jnp.maximum(h_nof, f), 0)
+            e_new = jnp.where(
+                live_row, jnp.maximum(e - gap_extend, h_new - gap_open),
+                NEG)
+            col_ok = (i < rlen)[:, None]
+            best_h = jnp.where(col_ok, jnp.maximum(best_h, h_new), best_h)
+            h = jnp.where(col_ok, h_new, h)
+            e = jnp.where(col_ok, e_new, e)
+            return (h, e, best_h), None
+
+        zero = jnp.zeros((b, w), jnp.int32)
+        (h, e, best_h), _ = jax.lax.scan(
+            column_s, (zero, jnp.full((b, w), NEG, jnp.int32), zero),
+            jnp.arange(r, dtype=jnp.int32))
+        return {"score": jnp.max(jnp.where(valid_row, best_h, 0), axis=1)}
 
     def column(carry, i):
         h, e, best, best_ref, best_col, done = carry
@@ -302,16 +338,25 @@ def _decode_windows(packed, codes_mat, cand_ei, qlen, w0, lo_mod, rlen,
     col = jnp.arange(q.shape[1], dtype=jnp.int32)[None, :]
     q = jnp.where(col < qlen[:, None], q, 0)
 
-    nw = rmax // 16 + 1
+    # Row-aligned word shift instead of a per-element take_along_axis:
+    # the in-word offset lo_mod is UNIFORM per row, so the window's words
+    # realign with one funnel shift (w'_j = wv_j << 2*m | wv_{j+1} >>
+    # 32-2*m) and every base then decodes at a static stride. The
+    # [C, rmax] element gather this replaces was ~60% of the fused SW
+    # program's runtime (85 ms of 409 ms per 8192-read block); the shift
+    # decode is ~3 ms. Bit-identical output.
+    na = rmax // 16
     widx = jnp.minimum(
-        w0[:, None] + jnp.arange(nw, dtype=jnp.int32)[None, :],
+        w0[:, None] + jnp.arange(na + 1, dtype=jnp.int32)[None, :],
         jnp.int32(packed.shape[0] - 1))
-    wv = packed[widx]                                    # [C, nw] u32
-    bit = lo_mod[:, None] + jnp.arange(rmax, dtype=jnp.int32)[None, :]
-    wsel = bit >> 4                                      # word within wv
-    sh = (jnp.int32(30) - (bit & 15) * 2).astype(jnp.uint32)
-    wj = jnp.take_along_axis(wv, wsel, axis=1)
-    r = ((wj >> sh) & jnp.uint32(3)).astype(jnp.int32)   # [C, rmax]
+    wv = packed[widx]                                    # [C, na+1] u32
+    sh = (lo_mod.astype(jnp.uint32) * 2)[:, None]        # [C, 1]
+    hi_part = jnp.where(sh == 0, jnp.uint32(0),
+                        wv[:, 1:] >> (jnp.uint32(32) - sh))
+    al = (wv[:, :na] << sh) | hi_part                    # aligned words
+    shifts = jnp.arange(30, -2, -2, dtype=jnp.uint32)[None, None, :]
+    bases = ((al[:, :, None] >> shifts) & jnp.uint32(3)).astype(jnp.int32)
+    r = bases.reshape(bases.shape[0], rmax)              # [C, rmax]
     jcol = jnp.arange(rmax, dtype=jnp.int32)[None, :]
     r = jnp.where(jcol < rlen[:, None], r, 0)
     return q, r
@@ -403,6 +448,11 @@ def sw_align_ends_from_genome(packed, codes_mat, cand_ei, qlen, lo, rlen,
             ("score", "score2", "ref_end2", "ref_end", "read_end")}
 
 
+# row order of the stacked winner-program result (after the win row)
+_WINNER_FIELDS = ("score", "ref_end", "read_end", "score2", "ref_end2",
+                  "ref_begin", "read_begin")
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("nr", "rmax", "match", "mismatch", "gap_open",
@@ -418,9 +468,11 @@ def _sw_winner_from_genome(packed, codes_mat, cand_ei, qlen, w0, lo_mod,
     the reverse (begin-position) pass on just the winner rows.
 
     cand_rd: int32 [C] read id per candidate row, ascending (walk order);
-    pad rows carry read id nr. Returns (win, fields) where win[read] is
-    the winning candidate row (int32 max when the read has none) and
-    fields are per-READ winner endpoint arrays [nr].
+    pad rows carry read id nr. Returns one stacked int32 [1+7, nr] array
+    (row 0 = win[read], the winning candidate row; rows 1.. =
+    _WINNER_FIELDS per-read endpoint arrays) so the host pays a single
+    tunnel fetch. Candidates run a score-only sweep; full fields
+    (incl. the reverse begin pass) run on the <= nr winner rows only.
 
     Winner selection uses the 16-pad forward score, which is exact for
     both SSW kernel modes (the byte/word split only changes SSE pad-row
@@ -437,7 +489,11 @@ def _sw_winner_from_genome(packed, codes_mat, cand_ei, qlen, w0, lo_mod,
         _pass = functools.partial(sw_pass_pallas, interpret=interpret)
     else:
         _pass = sw_pass
-    fwd = _pass(q, qlen, r, rlen, term, pad_to=16, **kw)
+    # score-VALUE-only sweep over every candidate (winner selection needs
+    # nothing else; skipping the per-column reductions + best-column
+    # snapshot for the ~10x-larger candidate batch is most of this
+    # program's win)
+    fwd = _pass(q, qlen, r, rlen, term, pad_to=16, score_only=True, **kw)
 
     c = q.shape[0]
     sc = fwd["score"]
@@ -451,10 +507,14 @@ def _sw_winner_from_genome(packed, codes_mat, cand_ei, qlen, w0, lo_mod,
         cand_rd, num_segments=nr + 1, indices_are_sorted=True)[:nr]
     wv = jnp.clip(win, 0, c - 1)
 
-    out = {k: v[wv] for k, v in fwd.items()}
+    qw_, rw_ = q[wv], r[wv]
+    # full-field forward pass on just the <= nr winner rows: SW lanes are
+    # independent, so each row's fields here are bit-identical to the
+    # ones a full-batch pass would return for it
+    out = _pass(qw_, qlen[wv], rw_, rlen[wv],
+                jnp.full(wv.shape[0], -1, jnp.int32), pad_to=16, **kw)
     # reverse pass on the <= nr winner rows (ssw.c:860-875 semantics,
     # same as sw_align_begins: reversed prefixes, terminate at score)
-    qw_, rw_ = q[wv], r[wv]
     q_end, r_end = out["read_end"], out["ref_end"]
     jr = jnp.arange(qw_.shape[1], dtype=jnp.int32)[None, :]
     ir = jnp.arange(rw_.shape[1], dtype=jnp.int32)[None, :]
@@ -467,7 +527,11 @@ def _sw_winner_from_genome(packed, codes_mat, cand_ei, qlen, w0, lo_mod,
                 **kw)
     out["ref_begin"] = r_end - rev["ref_end"]
     out["read_begin"] = q_end - rev["read_end"]
-    return win, out
+    # ONE stacked [1+7, nr] result: every separate np.asarray fetch costs
+    # ~24 ms of tunnel RPC — returning win + 7 field arrays individually
+    # made result fetches ~2/3 of this program's wall time
+    return jnp.stack([win] + [out[k].astype(jnp.int32)
+                              for k in _WINNER_FIELDS])
 
 
 def sw_align_winner_from_genome(packed, codes_mat, cand_ei, qlen, lo, rlen,
@@ -505,13 +569,13 @@ def sw_align_winner_from_genome(packed, codes_mat, cand_ei, qlen, lo, rlen,
     w0 = (lo >> 4).astype(np.int32)
     lo_mod = (lo & 15).astype(np.int32)
 
-    win, out = _sw_winner_from_genome(
+    stacked = np.asarray(_sw_winner_from_genome(
         packed, codes_mat, cand_ei, qlen, w0, lo_mod, rlen, cand_rd,
         nr=nrp, rmax=rmax, match=match, mismatch=mismatch,
         gap_open=gap_open, gap_extend=gap_extend, mask_len=mask_len,
-        use_pallas=use_pallas, interpret=not on_tpu)
-    win = np.asarray(win)[:nr]
-    out = {k: np.asarray(v)[:nr] for k, v in out.items()}
+        use_pallas=use_pallas, interpret=not on_tpu))  # ONE fetch
+    win = stacked[0, :nr]
+    out = {k: stacked[i + 1, :nr] for i, k in enumerate(_WINNER_FIELDS)}
     # winners must be REAL rows: pad rows live in segment nrp (dropped),
     # so any win >= b0 means "no winner"
     win = np.where(win < b0, win, np.iinfo(np.int32).max)

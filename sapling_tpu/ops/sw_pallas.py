@@ -35,7 +35,7 @@ FIELDS = 8        # score, ref_end, read_end, score2, ref_end2, pad...
 
 def _kernel(q_ref, ref_ref, qlen_ref, rlen_ref, term_ref, out_ref,
             colmax_ref, *, w, r, match, mismatch, gap_open, gap_extend,
-            mask_len, pad_to, second_inclusive):
+            mask_len, pad_to, second_inclusive, score_only=False):
     q = q_ref[:]                                   # [W, BB] int32
     qlen = qlen_ref[:]                             # [1, BB]
     rlen = rlen_ref[:]
@@ -58,9 +58,18 @@ def _kernel(q_ref, ref_ref, qlen_ref, rlen_ref, term_ref, out_ref,
     ge_j = gap_extend * jidx
     neg = jnp.full((w, BB), NEG, jnp.int32)
 
+    # shift masks are loop-invariant: build them ONCE before the column
+    # fori_loop (inside the body Mosaic re-evaluates the iota compare
+    # every column — 7 cummax steps x r columns of pure overhead)
+    smasks = {}
+    _s = 1
+    while _s < w:
+        smasks[_s] = jidx >= _s
+        _s *= 2
+
     def shift_down(x, s, fill):
         rolled = pltpu.roll(x, jnp.int32(s), axis=0)
-        return jnp.where(jidx >= s, rolled, fill)
+        return jnp.where(smasks[s], rolled, fill)
 
     def cummax_rows(x):
         s = 1
@@ -68,6 +77,44 @@ def _kernel(q_ref, ref_ref, qlen_ref, rlen_ref, term_ref, out_ref,
             x = jnp.maximum(x, shift_down(x, s, neg))
             s *= 2
         return x
+
+    if score_only:
+        # Per-cell running max; no column reductions, no best-column
+        # snapshot, no colmax scratch, no terminate. Same recurrence and
+        # masks as the full sweep — the score VALUE is bit-identical
+        # (the fused winner program needs only it for non-winners).
+        zero_w0 = jnp.zeros((w, BB), jnp.int32)
+
+        def column_s(i, carry):
+            h, e, best_h = carry
+            rbase = ref_ref[pl.ds(i, 1), :]
+            sub = jnp.where((q == rbase) & (q < 4), match, -mismatch)
+            sub = jnp.where(valid_row, sub, zero)
+            diag = shift_down(h, 1, zero_w0)
+            h_nof = jnp.maximum(jnp.maximum(diag + sub, e), 0)
+            h_nof = jnp.where(live_row, h_nof, zero)
+            a = shift_down(h_nof - gap_open, 1, neg)
+            f = cummax_rows(a + ge_j) - ge_j
+            h_new = jnp.where(live_row, jnp.maximum(h_nof, f), zero)
+            e_new = jnp.where(live_row,
+                              jnp.maximum(e - gap_extend,
+                                          h_new - gap_open),
+                              jnp.int32(NEG))
+            col_ok = i < rlen                              # [1, BB]
+            best_h = jnp.where(col_ok, jnp.maximum(best_h, h_new), best_h)
+            h = jnp.where(col_ok, h_new, h)
+            e = jnp.where(col_ok, e_new, e)
+            return h, e, best_h
+
+        h, e, best_h = jax.lax.fori_loop(
+            jnp.int32(0), jnp.int32(r), column_s, (zero_w0, neg, zero_w0))
+        one_b0 = jnp.zeros((1, BB), jnp.int32)
+        best = jnp.max(jnp.where(valid_row, best_h, zero), axis=0,
+                       keepdims=True)
+        out_ref[pl.ds(0, 1), :] = best
+        for fi in range(1, FIELDS):
+            out_ref[pl.ds(fi, 1), :] = one_b0
+        return
 
     def column(i, carry):
         h, e, best, best_ref, best_col, done = carry
@@ -140,13 +187,15 @@ def _kernel(q_ref, ref_ref, qlen_ref, rlen_ref, term_ref, out_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("match", "mismatch", "gap_open", "gap_extend",
-                     "mask_len", "pad_to", "second_inclusive", "interpret"),
+                     "mask_len", "pad_to", "second_inclusive", "interpret",
+                     "score_only"),
 )
 def sw_pass_pallas(
     query, qlen, ref, rlen, terminate,
     *, match: int = 2, mismatch: int = 2, gap_open: int = 3,
     gap_extend: int = 1, mask_len: int = 15, pad_to: int = 16,
     second_inclusive: bool = False, interpret: bool = False,
+    score_only: bool = False,
 ):
     """Drop-in Pallas equivalent of ops.sw.sw_pass (same args/returns)."""
     if gap_open < gap_extend:
@@ -169,7 +218,8 @@ def sw_pass_pallas(
         functools.partial(
             _kernel, w=w, r=r, match=match, mismatch=mismatch,
             gap_open=gap_open, gap_extend=gap_extend, mask_len=mask_len,
-            pad_to=pad_to, second_inclusive=second_inclusive),
+            pad_to=pad_to, second_inclusive=second_inclusive,
+            score_only=score_only),
         grid=grid,
         in_specs=[
             pl.BlockSpec((w, BB), lambda i: (jnp.int32(0), i), memory_space=pltpu.VMEM),
@@ -185,6 +235,8 @@ def sw_pass_pallas(
         interpret=interpret,
     )(q.T, rf.T, ql[None, :], rl[None, :], tm[None, :])
 
+    if score_only:
+        return {"score": out[0, :b0]}
     return {
         "score": out[0, :b0],
         "ref_end": out[1, :b0],

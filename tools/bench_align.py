@@ -41,7 +41,7 @@ def main(argv):
     n_reads = int(kv.get("reads", 50_000))
     rlen = int(kv.get("len", 100))
     sub = float(kv.get("sub", 0.01))
-    block = int(kv.get("block", 8192))
+    block = int(kv.get("block", 16384))
 
     cache = os.path.join(_ROOT, ".bench_cache", f"align_{n}_k16.stpu.npz")
     os.makedirs(os.path.dirname(cache), exist_ok=True)
@@ -64,8 +64,8 @@ def main(argv):
              for i in range(n_reads)]
     aligner = SeedExtendAligner(idx, AlignerConfig())
 
-    workers = int(kv.get("workers", 3))
-    coalesce = int(kv.get("coalesce", 1))
+    workers = int(kv.get("workers", 4))
+    coalesce = int(kv.get("coalesce", 2))
     # warm compiles with ONE full untimed pass over the corpus: the tail
     # group's seed-query batch is a different jit shape than the full
     # groups', the axon backend's remote compiles cost ~38 s each, and

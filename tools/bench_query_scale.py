@@ -83,10 +83,11 @@ def main(argv):
     use3 = (idx.prefix3 is not None
             and qlen <= min(idx.k, packops.P3_BASES))
     q3 = jax.device_put(packops.pack_queries3(codes2d)) if use3 else None
-    # rows2d=1: ship rev as the Rows2D one-gather layout instead of the
-    # HalvesU32 default at >2^31 ranks (A/B lever; ops.query.Rows2D)
-    darr = idx.device_arrays(rev_rows2d=bool(int(kv.get("rows2d", 0)))
-                             or None)
+    # rows2d=1/0 forces the Rows2D / HalvesU32 rev layout at >2^31 ranks
+    # (unset = engine default: Rows2D, measured +18% at 3.1 Gbp)
+    rows2d = kv.get("rows2d")
+    darr = idx.device_arrays(
+        rev_rows2d=None if rows2d is None else bool(int(rows2d)))
     arrs = [darr["packed"], darr["rev"], darr["xlist"], darr["ylist"],
             darr.get("prefix"), darr.get("prefix3"), darr.get("bounds"),
             darr.get("ptab"), darr.get("pred2")]
