@@ -251,3 +251,39 @@ def test_fused_winner_matches_two_dispatch(corpus, monkeypatch):
     aligner.align_fastq(corpus["fq"], two, cl="t")
     with open(fused, "rb") as f1, open(two, "rb") as f2:
         assert f1.read() == f2.read()
+
+
+def test_coalesced_seed_query_matches_per_block(corpus):
+    """align_blocks with coalesce>1 (one padded seed-query dispatch per
+    group of blocks) yields records byte-identical to per-block
+    dispatches — per-lane query results must not depend on batch
+    composition or shape-bucket padding."""
+    d = corpus["dir"]
+    idx = SaplingIndex.from_fasta(corpus["ref_fa"], IndexConfig(k=16))
+    aligner = SeedExtendAligner(idx, AlignerConfig())
+    a = os.path.join(d, "coalesce1.sam")
+    b = os.path.join(d, "coalesce4.sam")
+    aligner.align_fastq(corpus["fq"], a, cl="t", block=64, workers=2,
+                        coalesce=1)
+    aligner.align_fastq(corpus["fq"], b, cl="t", block=64, workers=2,
+                        coalesce=4)
+    with open(a, "rb") as f1, open(b, "rb") as f2:
+        assert f1.read() == f2.read()
+
+
+def test_shape_buckets():
+    """Pad buckets: multiples of their grain, monotone, bounded waste."""
+    from sapling_tpu.align.aligner import _shape_bucket
+    from sapling_tpu.ops.sw import _pad_bucket
+
+    for n in (1, 7, 1023, 1024, 1025, 82_591, 114_688, 164_000, 1 << 20):
+        sb, pb = _shape_bucket(n), _pad_bucket(n)
+        assert sb >= n and pb >= n
+        assert sb < 2 * max(n, 1024) and pb < 2 * max(n, 256)
+        assert pb % 256 == 0
+        # 4-significant-bit grain: pad stays under one step
+        step = 1 << max(n.bit_length() - 4, 0)
+        if n > 1024:
+            assert sb - n < step
+        if n > 256:
+            assert pb - n < max(256, step)
