@@ -35,14 +35,18 @@ def main():
             f"| {row['label']} | **{fmt_qps(row['qps'])}** ({row['config']}) "
             f"| {fmt_qps(row['ref_qps'])} | {speed:,.1f}× | {bs:.1f}× |")
     al = data.get("aligner")
-    al_lines = [] if al is None else [
-        "",
-        f"Aligner (FASTQ→SAM, {al['label']}): "
-        f"**{al['reads_per_s']:,} reads/s** ({al['config']}) vs the "
-        f"reference aligner's {al['ref_reads_per_s']:,} reads/s — "
-        f"**{al['reads_per_s']/al['ref_reads_per_s']:.1f}×**. "
-        f"{al['note']}.",
-    ]
+    al_lines = []
+    if al is not None:
+        parts = "; ".join(
+            f"{s['genome']}: **{s['reads_per_s']:,} reads/s** vs "
+            f"{s['ref_reads_per_s']:,} = "
+            f"**{s['reads_per_s']/s['ref_reads_per_s']:.1f}×**"
+            for s in al["scales"])
+        al_lines = [
+            "",
+            f"Aligner (FASTQ→SAM, {al['label']}, {al['config']}) — "
+            f"{parts}. {al['note']}.",
+        ]
     table = "\n".join([
         "| Genome scale | This framework | Reference best (1 CPU thread) "
         "| Speedup | vs on-chip binary search |",
