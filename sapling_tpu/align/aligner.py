@@ -520,7 +520,7 @@ class SeedExtendAligner:
         _tick("finish")
         return results
 
-    def align_blocks(self, blocks, workers: int = 4, coalesce: int = 2):
+    def align_blocks(self, blocks, workers: int = 8, coalesce: int = 2):
         """Pipeline the three stages over an iterable of read blocks,
         yielding per-block result lists in input order.
 
@@ -563,7 +563,7 @@ class SeedExtendAligner:
                 yield pending.popleft().result()
 
     def align_fastq(self, fastq_path, out, cl: str = "align",
-                    block: int = 16384, workers: int = 4,
+                    block: int = 16384, workers: int = 8,
                     coalesce: int = 2) -> None:
         """Full FASTQ -> SAM pipeline (reference: src/align.cpp:193-224).
         SAM records are written strictly in input-read order (byte parity

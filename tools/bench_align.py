@@ -64,7 +64,7 @@ def main(argv):
              for i in range(n_reads)]
     aligner = SeedExtendAligner(idx, AlignerConfig())
 
-    workers = int(kv.get("workers", 4))
+    workers = int(kv.get("workers", 8))
     coalesce = int(kv.get("coalesce", 2))
     # warm compiles with ONE full untimed pass over the corpus: the tail
     # group's seed-query batch is a different jit shape than the full
