@@ -50,6 +50,15 @@ def main(argv):
     print(f"sampled {kmers.shape[0]} (rank, kmer) pairs")
     ds = residual.prepare_dataset(kmers, ranks, chunks)
     print(f"dataset: {ds.x.shape[0]} chunks x {ds.x.shape[1]} points")
+    if batch is None and ds.x.size > (1 << 24):
+        # full-batch training materializes [chunks, per, layer] f64
+        # activations per epoch — a 20 Mbp genome's 20M samples blew the
+        # 15.75 GiB HBM (measured 17.3 GiB). Fall back to the reference's
+        # own minibatch regime (NN/fit.py batch=64; bigger here since all
+        # chunks train in one vmapped step).
+        batch = 2048
+        print(f"dataset too large for full-batch training on one chip; "
+              f"using batch={batch} (override with batch=N)")
     trainer = residual.Trainer.create(
         jax.random.PRNGKey(0), num_chunks=ds.x.shape[0],
         layer_size=layer, hidden_layers=hidden)
