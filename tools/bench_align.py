@@ -50,6 +50,12 @@ def main(argv):
         idx = SaplingIndex.load(cache)
         genome = None
     else:
+        if n > 1_000_000_000:
+            raise SystemExit(
+                f"no cached aligner index for n={n}; build it with the "
+                f"memory-lean pipeline first:\n  python "
+                f"tools/build_big_index.py n={n} k=16 nb=26 aligner=1 "
+                f"out={cache}")
         genome = benchmark_genome(n)
         idx = SaplingIndex.build(genome, IndexConfig(k=16))
         idx.save(cache)

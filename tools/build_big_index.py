@@ -44,6 +44,29 @@ def _fwd_runs_from_ok(ok: np.ndarray) -> np.ndarray:
     return runs.astype(np.int32)
 
 
+def _capped_runs_from_fwd(fwd: np.ndarray, chunk: int = 1 << 26):
+    """uint8-capped (lcpk_fwd, lcpk_bwd) aligner run arrays from the
+    int32 forward runs (index.suffix_array.lcp_ge_k_runs semantics;
+    ok = fwd > 0 reconstructs the lcp>=k mask, the backward runs scan
+    chunk-wise with a carry so no n-sized int64 temporaries appear)."""
+    m = fwd.shape[0]
+    f8 = np.empty(m, np.uint8)
+    b8 = np.empty(m, np.uint8)
+    run = 0
+    for lo in range(0, m, chunk):
+        hi = min(lo + chunk, m)
+        fc = fwd[lo:hi]
+        f8[lo:hi] = np.minimum(fc, 255).astype(np.uint8)
+        ok = fc > 0
+        idxs = np.arange(hi - lo, dtype=np.int64)
+        prev = np.maximum.accumulate(np.where(~ok, idxs, -1))
+        b = idxs - prev
+        b[prev == -1] += run
+        run = int(b[-1]) if ok[-1] else 0
+        b8[lo:hi] = np.minimum(b, 255).astype(np.uint8)
+    return f8, b8
+
+
 def _kmers_span(span):
     from sapling_tpu.ops import pack as packops
     from sapling_tpu.utils import parhost
@@ -133,6 +156,14 @@ def main(argv):
             _kmers_span, parhost.spans_of(m, 1 << 26),
             {"codes": codes, "k": k}, workers=workers):
         kmers[lo : lo + kch.shape[0]] = kch
+    lcpk8 = None
+    if bool(int(kv.get("aligner", 0))):
+        # aligner=1: keep the uint8-capped lcp>=k run arrays (and inv,
+        # already kept on this path) so the artifact drives the full
+        # SeedExtendAligner at this scale (use k=16, the aligner's
+        # sapling_k)
+        log("deriving aligner run arrays (uint8 capped)")
+        lcpk8 = _capped_runs_from_fwd(fwd)
     log(f"kmers done ({time.time()-t1:.0f}s); PWL checkpoints (sort-free)")
     t1 = time.time()
     xlist, ylist = build_checkpoints_fast(kmers, inv32, 2 * k, nb,
@@ -167,6 +198,8 @@ def main(argv):
     idx = SaplingIndex(n=n, k=k, buckets=nb, packed=packed, rev=rev,
                        inv=inv32, table=table, chr_ends=[(n, "big1")],
                        codes=codes)
+    if lcpk8 is not None:
+        idx.lcpk_fwd, idx.lcpk_bwd = lcpk8
     log(f"saving {out}")
     idx.save(out)
     log(f"TOTAL {time.time()-t0:.0f}s")
