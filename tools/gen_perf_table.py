@@ -37,11 +37,15 @@ def main():
     al = data.get("aligner")
     al_lines = []
     if al is not None:
-        parts = "; ".join(
-            f"{s['genome']}: **{s['reads_per_s']:,} reads/s** vs "
-            f"{s['ref_reads_per_s']:,} = "
-            f"**{s['reads_per_s']/s['ref_reads_per_s']:.1f}×**"
-            for s in al["scales"])
+        def _one(s):
+            if s["ref_reads_per_s"] is None:
+                return (f"{s['genome']}: **{s['reads_per_s']:,} reads/s**"
+                        f" (reference aligner cannot build its in-memory"
+                        f" SA at this scale on the same host)")
+            return (f"{s['genome']}: **{s['reads_per_s']:,} reads/s** vs "
+                    f"{s['ref_reads_per_s']:,} = "
+                    f"**{s['reads_per_s']/s['ref_reads_per_s']:.1f}×**")
+        parts = "; ".join(_one(s) for s in al["scales"])
         al_lines = [
             "",
             f"Aligner (FASTQ→SAM, {al['label']}, {al['config']}) — "
