@@ -119,3 +119,46 @@ def test_split_build_tool_and_v4_artifact(tmp_path):
     pos_ref = ref.query_positions(codes2d)
     np.testing.assert_array_equal(pos_split, pos_ref)
     assert idx.verify_hits(codes2d, pos_split).all()
+
+
+def test_build_tool_aligner_artifact_parity(tmp_path):
+    """tools/build_big_index.py aligner=1 (non-split path) produces an
+    artifact whose inv + uint8-capped lcp>=k run arrays match a direct
+    SaplingIndex.build, and that drives the aligner to identical
+    alignments — the contract behind the GRCh38-scale aligner bench."""
+    import subprocess
+    import sys
+
+    from sapling_tpu.align.aligner import SeedExtendAligner
+    from sapling_tpu.config import AlignerConfig
+    from sapling_tpu.io.fastq import Read
+    from sapling_tpu.ops.pack import decode_bases
+    from sapling_tpu.sim.genomes import benchmark_genome, simulate_reads
+
+    out = str(tmp_path / "tool_align.stpu.npz")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "build_big_index.py"),
+         "n=400000", "k=16", "nb=14", "aligner=1", "workers=2",
+         f"out={out}"],
+        check=True, env=env, capture_output=True)
+    idx_tool = SaplingIndex.load(out)
+    idx_ref = SaplingIndex.build(benchmark_genome(400_000),
+                                 IndexConfig(k=16, buckets=14))
+    assert np.array_equal(idx_tool.inv, idx_ref.inv)
+    assert np.array_equal(idx_tool.lcpk_fwd, idx_ref.lcpk_fwd)
+    assert np.array_equal(idx_tool.lcpk_bwd, idx_ref.lcpk_bwd)
+    assert np.array_equal(idx_tool.rev, idx_ref.rev)
+
+    reads_arr, pos, _ = simulate_reads(decode_bases(idx_ref.codes), 300,
+                                       100, sub_rate=0.02, seed=11)
+    reads = [Read(name=f"r{i}", seq=reads_arr[i].tobytes(), qual="I" * 100)
+             for i in range(300)]
+    a_tool = SeedExtendAligner(idx_tool, AlignerConfig()).align_block(reads)
+    a_ref = SeedExtendAligner(idx_ref, AlignerConfig()).align_block(reads)
+    for x, y in zip(a_tool, a_ref):
+        assert x.aligned == y.aligned
+        if x.aligned:
+            assert x.alignment.ref_begin == y.alignment.ref_begin
+            assert x.alignment.cigar == y.alignment.cigar
