@@ -88,6 +88,16 @@ class SeedExtendAligner:
         if index.lcpk_fwd is None or index.lcpk_bwd is None:
             raise ValueError("index built without aligner arrays "
                              "(keep_aligner_arrays=True required)")
+        if getattr(index, "inv_hi", None) is not None:
+            # split-limb (>=2^32-rank) artifacts store inv as low 32 bits
+            # + a separate uint8 high limb; reading idx.inv alone would
+            # silently truncate ranks >= 2^32 (ADVICE r3)
+            raise ValueError(
+                "split-limb index (inv_hi present) unsupported by the "
+                "aligner — ranks would truncate; build with n < 2^32")
+        if index.inv is None or len(index.inv) != index.n:
+            raise ValueError("index has no full inverse-rank array "
+                             "(built with inv=0?) — aligner needs inv[n]")
         if self.cfg.max_hits > 255:
             raise ValueError("max_hits > 255 unsupported (uint8 run arrays)")
         if index.k != self.cfg.sapling_k:

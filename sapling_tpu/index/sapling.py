@@ -173,8 +173,17 @@ class SaplingIndex:
     SUPPORTED_FORMATS = (1, 2, 3, 4)
 
     @classmethod
-    def load(cls, path: str) -> "SaplingIndex":
-        z = artifacts.load_npz(path)
+    def load(cls, path: str, skip: tuple = (),
+             mmap: bool = False) -> "SaplingIndex":
+        """Load an artifact. skip: member names to leave out (they load
+        as None / empty — e.g. skip=("inv",) for query-only use, where
+        the 12.4 GB inverse array is 40% of a GRCh38 artifact's load
+        time). mmap=True memory-maps large members instead of copying
+        into RAM (io.artifacts.load_npz): load returns in milliseconds
+        and untouched members never cost disk reads."""
+        z = artifacts.load_npz(path, skip=skip, mmap=mmap)
+        for name in skip:
+            z.setdefault(name, np.zeros(0, np.uint8))
         ver = int(z.get("format_version", 1))
         if ver not in cls.SUPPORTED_FORMATS:
             raise IOError(

@@ -195,11 +195,32 @@ class Trainer:
             c = active.shape[0]
 
             def keep_active(new, old):
+                # every param leaf (and Adam's mu/nu mirrors of them) is
+                # chunk-major [C, ...] by construction (init_params);
+                # non-chunk leaves (e.g. Adam's scalar step count) pass
+                # through. Guarded against a non-chunk-major optimizer
+                # leaf whose leading dim coincidentally equals C: params
+                # themselves are always [C, ...], and mu/nu share the
+                # param treedef, so shape[0]==c on a param-shaped leaf is
+                # definitionally chunk-major. For any OTHER optimizer
+                # (non-Adam) whose extra state is [C]-leading but not
+                # chunk-major, this heuristic would mis-gate — assert the
+                # optimizer state only carries param-shaped or scalar
+                # leaves.
                 if new.ndim and new.shape[0] == c:
                     a = active.reshape((c,) + (1,) * (new.ndim - 1))
                     return jnp.where(a, new, old)
                 return new  # e.g. Adam's scalar step count
 
+            param_shapes = {l.shape for l in jax.tree.leaves(params)}
+            for leaf in jax.tree.leaves(opt_state):
+                if (leaf.ndim and leaf.shape[0] == c
+                        and leaf.shape not in param_shapes):
+                    raise ValueError(
+                        "optimizer state has a C-leading leaf of "
+                        f"non-param shape {leaf.shape}; _masked_step "
+                        "assumes all C-leading leaves are chunk-major "
+                        "(use Adam, or extend keep_active)")
             params2 = jax.tree.map(keep_active, new_params, params)
             opt2 = jax.tree.map(keep_active, new_opt, opt_state)
             improved = active & (lv < best_loss)

@@ -48,11 +48,26 @@ def shard_bounds(num_records: int, num_shards: int, shard: int) -> tuple[int, in
 
 def count_fastq_records(path: str) -> int:
     """Streaming record count (4 lines per record; a truncated trailing
-    record is dropped, matching the reference reader align.cpp:174-190)."""
+    record is dropped, matching the reference reader align.cpp:174-190).
+
+    Validates the 4-line frame as it streams: every record's first line
+    must start with '@' and its third with '+' — a blank or stray line
+    would otherwise shift every later record boundary and split_fastq
+    would silently cut records across shard files (ADVICE r3)."""
     n = 0
     with open(path, "rb") as f:
-        for _ in f:
-            n += 1
+        for i, line in enumerate(f):
+            r = i & 3
+            if r == 0 and not line.startswith(b"@"):
+                raise ValueError(
+                    f"{path}:{i + 1}: malformed FASTQ — record header "
+                    f"does not start with '@' (got {line[:20]!r}); "
+                    "refusing to shard a frame-shifted file")
+            if r == 2 and not line.startswith(b"+"):
+                raise ValueError(
+                    f"{path}:{i + 1}: malformed FASTQ — separator line "
+                    f"does not start with '+' (got {line[:20]!r})")
+            n = i + 1
     return n // 4
 
 

@@ -149,12 +149,14 @@ def simulate_reads_indel(
     return reads, pos, np.asarray(is_rc)
 
 
-def write_fastq(path: str, reads: np.ndarray, names: list[str] | None = None,
+def write_fastq(path: str, reads, names: list[str] | None = None,
                 qual: int = ord("I")):
-    num, length = reads.shape
-    q = bytes([qual]) * length
+    """reads: [num, length] ascii uint8 array, or a list of 1-D ascii
+    arrays with mixed lengths (the reference reader handles arbitrary
+    per-record lengths, src/align.cpp:174-190)."""
     with open(path, "wb") as f:
-        for i in range(num):
+        for i, r in enumerate(reads):
+            r = np.asarray(r, np.uint8)
             name = names[i] if names else f"read{i + 1}"
             f.write(b"@" + name.encode() + b"\n")
-            f.write(reads[i].tobytes() + b"\n+\n" + q + b"\n")
+            f.write(r.tobytes() + b"\n+\n" + bytes([qual]) * len(r) + b"\n")

@@ -222,6 +222,49 @@ def test_sam_byte_parity_repeat_heavy(ref_align_bin, tmp_path):
     assert not diffs, f"{len(diffs)} differing lines; first: {diffs[0]}"
 
 
+def test_sam_byte_parity_mixed_length_reads(ref_align_bin, tmp_path):
+    """Arbitrary per-record read lengths (reference src/align.cpp:174-190
+    imposes no fixed length): a 60-150 bp mixed FASTQ must produce
+    byte-identical SAM. Exercises the shape-bucket padding paths for
+    variable valid-seed counts and variable SW window widths that the
+    fixed-length corpora never hit (VERDICT r3 weak #5)."""
+    d = str(tmp_path)
+    rng = np.random.default_rng(404)
+    g = uniform_genome(150_000, seed=19)
+    ref_fa = os.path.join(d, "ref.fa")
+    write_fasta(ref_fa, [("chrM", bytes(g[:90_000])),
+                         ("chrN", bytes(g[90_000:]))])
+    base_map = np.frombuffer(b"ACGT", np.uint8)
+    comp = {65: 84, 67: 71, 71: 67, 84: 65}
+    lengths = rng.integers(60, 151, 150)
+    reads = []
+    for L in lengths:
+        s = int(rng.integers(0, len(g) - L))
+        r = g[s : s + L].copy()
+        mut = rng.random(L) < 0.02
+        r[mut] = base_map[rng.integers(0, 4, mut.sum())]
+        if rng.random() < 0.5:
+            r = np.array([comp[int(b)] for b in r[::-1]], np.uint8)
+        reads.append(r)
+    fq = os.path.join(d, "reads.fq")
+    write_fastq(fq, reads)
+    ref_sam = os.path.join(d, "ref_out.sam")
+    our_sam = os.path.join(d, "our_out.sam")
+    res = subprocess.run([ref_align_bin, fq, ref_fa, ref_sam],
+                         capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, res.stderr
+    idx = SaplingIndex.from_fasta(ref_fa, IndexConfig(k=16))
+    # small blocks + pipeline: mixed lengths inside AND across blocks
+    SeedExtendAligner(idx, AlignerConfig()).align_fastq(
+        fq, our_sam, cl="x", block=64, workers=2)
+    ref_lines = open(ref_sam).read().splitlines()
+    our_lines = open(our_sam).read().splitlines()
+    assert len(our_lines) == len(ref_lines)
+    diffs = [(i, a, b) for i, (a, b) in enumerate(zip(our_lines, ref_lines))
+             if a != b and not a.startswith("@PG")]
+    assert not diffs, f"{len(diffs)} differing lines; first: {diffs[0]}"
+
+
 def test_pipelined_blocks_preserve_order_and_bytes(corpus):
     """align_fastq through the 2-worker align_blocks pipeline with many
     small blocks emits byte-identical SAM to a single-block run — block
