@@ -8,18 +8,38 @@ drawn from the genome, every answer self-checked. Three genome scales:
   * 230 Mbp (chr1 class)      } measured only when their cached index
   * 3.1 Gbp (GRCh38 class)    } artifacts exist (tools/build_big_index.py)
 
-Prints ONE JSON line. The primary metric is the LARGEST measured scale
-(the north star per BASELINE.md: >= 10x the reference's best GRCh38
-config = >= 597k q/s); `vs_baseline` is measured qps / the reference's
-best published same-scale config (eval/TimingPlot/plot.py:16-24). The
-`scales` field carries every scale's qps, reference ratio AND the
-honestly-measured on-chip binary-search margin, so no single ratio can
-mislead (VERDICT r2 weak #4).
+Plus the second headline: end-to-end aligner reads/s on the cached
+chr1-class artifact (VERDICT r3 missing #3 — the aligner joins the
+driver contract).
+
+Prints ONE JSON line. The metric name is STABLE across hosts
+(ADVICE r3: it no longer depends on which artifacts exist);
+`primary_scale` names the largest scale actually measured and
+`skipped_scales` flags what was unavailable, so runs on hosts without
+the big caches are visibly non-comparable. `vs_baseline` is measured
+qps / the reference's best published same-scale config
+(eval/TimingPlot/plot.py:16-24).
+
+Reproducibility discipline (VERDICT r3 missing #1 / weak #1):
+  * every scale's timed run repeats REPEATS times after warm; the
+    headline is the MEDIAN and `spread_pct` = (max-min)/median reports
+    run-to-run noise.
+  * a fixed-shape calibration program runs first: chained random
+    gathers whose good-session time is pinned in CAL_REF_S. A session
+    where calibration exceeds the pin by >30% is flagged
+    `degraded_session: true` — the number of record should come from a
+    clean session (docs/PERFORMANCE.md: host/tunnel contention once
+    produced a 31%-low GRCh38 figure in an otherwise-identical run).
+  * timed runs materialize a [2] digest (checksum + chained carry) —
+    the 40 MB position fetch rides the tunnel and its bandwidth
+    variance is NOT the query engine's; correctness is checked from an
+    untimed full fetch. The data chain threads sum(out) so no
+    iteration can be elided (docs/PERFORMANCE.md timing doctrine).
 
 Timing discipline per docs/PERFORMANCE.md: K data-chained iterations
-inside ONE jitted program, result materialized; `block_until_ready` is
-unreliable on the tunnel backend. A single dispatch stays well under the
-~60 s worker watchdog (iters=4 at GRCh38 scale).
+inside ONE jitted program; `block_until_ready` is unreliable on the
+tunnel backend. A single dispatch stays well under the ~60 s worker
+watchdog (iters=4 at GRCh38 scale).
 
 Extra diagnostics go to stderr.
 """
@@ -40,6 +60,7 @@ import numpy as np
 
 K = 21
 NQ = 5_000_000
+REPEATS = 3
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 # Per-scale config: reference best q/s (5M / best published seconds,
@@ -47,7 +68,7 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 # -optimal compact_unresolved cap (docs/PERFORMANCE.md), chained iters
 # sized to the worker watchdog.
 SCALES = [
-    dict(label="4.6Mbp", npz=f"bench_4600000_k21_b22.stpu.npz",
+    dict(label="4.6Mbp", npz="bench_4600000_k21_b22.stpu.npz",
          ref_qps=5e6 / 19.0, ref_bs_qps=5e6 / 93.8,
          cap=13 << 17, iters=10, bs_iters=3),
     dict(label="230Mbp", npz="bench_230000000_k21.stpu.npz",
@@ -57,6 +78,12 @@ SCALES = [
          ref_qps=5e6 / 83.7, ref_bs_qps=5e6 / 288.3,
          cap=4_500_000, iters=4, bs_iters=2),
 ]
+
+# Good-session calibration pin: seconds for calibrate()'s fixed chained
+# -gather program (8 gathers x 6 iters, 2M lanes, 2^26-element table).
+# Measured 1.157-1.162 s across 5 runs on an idle 2026-08-20 session
+# (spread < 0.5%). Sessions >30% over are flagged degraded.
+CAL_REF_S = 1.16
 
 
 def log(*a):
@@ -76,8 +103,65 @@ def build_small_index(npz):
     return idx
 
 
+def calibrate():
+    """Fixed-shape session health check, independent of any index:
+    dispatch RPC latency, device->host fetch bandwidth, and a chained
+    random-gather program that mirrors the query engine's bottleneck
+    op. Returns a dict for the JSON line."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    table = jnp.asarray(rng.integers(0, 1 << 30, 1 << 26, dtype=np.int32))
+    idx0 = jnp.asarray(rng.integers(0, 1 << 26, 2_000_000, dtype=np.int32))
+
+    @jax.jit
+    def chained(t, ix):
+        def body(_, carry):
+            ix, acc = carry
+            for _ in range(8):
+                v = t[ix & ((1 << 26) - 1)]
+                ix = ix ^ v
+                acc = (acc + jnp.sum(v)).astype(jnp.int32)
+            return ix, acc
+
+        ix, acc = jax.lax.fori_loop(0, 6, body,
+                                    (ix, jnp.zeros((), jnp.int32)))
+        return acc + ix[0]
+
+    @jax.jit
+    def trivial(x):
+        return x + 1
+
+    np.asarray(chained(table, idx0))  # compile + warm
+    np.asarray(trivial(idx0[:8]))
+    t0 = time.time()
+    np.asarray(trivial(idx0[:8]))
+    dispatch_ms = (time.time() - t0) * 1e3
+    t0 = time.time()
+    np.asarray(chained(table, idx0))
+    gather_s = time.time() - t0
+    @jax.jit
+    def make_big(i):
+        return jnp.zeros(10_000_000, jnp.int32) + i
+
+    np.asarray(make_big(idx0[0]))  # warm (a jax.Array caches its host
+    t0 = time.time()               # copy — each fetch needs a NEW array)
+    np.asarray(make_big(idx0[1]))
+    fetch_mbps = 40.0 / max(time.time() - t0 - dispatch_ms / 1e3, 1e-9)
+    out = dict(gather_s=round(gather_s, 3),
+               dispatch_ms=round(dispatch_ms, 1),
+               fetch_MBps=round(fetch_mbps, 1))
+    if CAL_REF_S:
+        out["vs_pin"] = round(gather_s / CAL_REF_S, 2)
+        out["degraded_session"] = gather_s > 1.3 * CAL_REF_S
+    log(f"calibration: gather {gather_s:.3f}s (pin {CAL_REF_S}), "
+        f"dispatch {dispatch_ms:.0f}ms, fetch {fetch_mbps:.0f} MB/s")
+    return out
+
+
 def bench_scale(idx, cap, iters, bs_iters):
-    """Returns (plquery_qps, onchip_binsearch_qps); self-check enforced."""
+    """Returns a per-scale result dict; self-check enforced."""
     import jax
     import jax.numpy as jnp
 
@@ -121,19 +205,28 @@ def bench_scale(idx, cap, iters, bs_iters):
                 # compacted [cap] batch — bit-identical results,
                 # measured-optimal caps per scale (docs/PERFORMANCE.md)
                 compact_unresolved=True, compact_cap=cap)
-            return xx + out[0] * 0, out  # chain: iter i+1 needs out_i
+            # chain iter i+1's input on a REDUCTION of iter i's output:
+            # every lane of every iteration stays live
+            return xx + jnp.sum(out).astype(xx.dtype) * 0, out
 
         _, out = jax.lax.fori_loop(
             0, iters, body, (xx0, jnp.zeros(xx0.shape[0], rev_dtype)))
-        return out
+        digest = jnp.stack([jnp.sum(out), out[1234]]).astype(jnp.int64)
+        return out, digest
 
-    np.asarray(run_k(q_words, x, q3, *arrs))  # compile + warm
-    t0 = time.time()
-    pos = np.asarray(run_k(q_words, x, q3, *arrs))
-    dt = (time.time() - t0) / iters
+    np.asarray(run_k(q_words, x, q3, *arrs)[1])  # compile + warm
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.time()
+        np.asarray(run_k(q_words, x, q3, *arrs)[1])  # digest-only fetch
+        times.append((time.time() - t0) / iters)
+    dt = float(np.median(times))
     qps = NQ / dt
+    spread = 100.0 * (max(times) - min(times)) / dt
     log(f"plquery: {NQ} queries in {dt:.3f}s -> {qps:,.0f} q/s "
-        f"(mean of {iters}, result-materialized)")
+        f"(median of {REPEATS} runs x {iters} chained iters, "
+        f"spread {spread:.1f}%)")
+    pos = np.asarray(run_k(q_words, x, q3, *arrs)[0])  # untimed full fetch
     sample = rng.choice(NQ, 200_000, replace=False)
     good = idx.verify_hits(codes2d[sample], pos[sample])
     n_good = int(good.sum())
@@ -153,19 +246,80 @@ def bench_scale(idx, cap, iters, bs_iters):
         def body(_, carry):
             qq, _prev = carry
             out = binsearch_batch(packed, rev, qq, n=idx.n, length=K)
-            return qq.at[0, 0].add(out[0].astype(jnp.uint32) * 0), out
+            return qq.at[0, 0].add(
+                jnp.sum(out).astype(jnp.uint32) * 0), out
 
-        return jax.lax.fori_loop(
+        out = jax.lax.fori_loop(
             0, bs_iters, body, (q, jnp.zeros(nb_lanes, rev_dtype)))[1]
+        return jnp.stack([jnp.sum(out), out[99]]).astype(jnp.int64)
 
     np.asarray(run_bs(qb, darr["packed"], darr["rev"]))  # compile + warm
-    t0 = time.time()
-    np.asarray(run_bs(qb, darr["packed"], darr["rev"]))
-    bs_dt = (time.time() - t0) / bs_iters
+    bs_times = []
+    for _ in range(REPEATS):
+        t0 = time.time()
+        np.asarray(run_bs(qb, darr["packed"], darr["rev"]))
+        bs_times.append((time.time() - t0) / bs_iters)
+    bs_dt = float(np.median(bs_times))
     bs_qps = nb_lanes / bs_dt
     log(f"binsearch baseline: {nb_lanes} queries in {bs_dt:.3f}s -> "
         f"{bs_qps:,.0f} q/s (margin {qps / bs_qps:.2f}x)")
-    return qps, bs_qps
+    return dict(qps=qps, spread_pct=round(spread, 1), bs_qps=bs_qps)
+
+
+def bench_aligner():
+    """Second headline: end-to-end FASTQ->SAM reads/s on the cached
+    chr1-class (230 Mbp) aligner artifact — same corpus recipe as
+    tools/bench_align.py (100 bp reads, 1% substitutions). One full
+    untimed warm pass covers every jit shape, then one timed pass.
+    Reference comparison: the compiled inv-fixed reference binary
+    measured 6,960 reads/s on this genome class (docs/measured.json,
+    alignment loop isolated)."""
+    from sapling_tpu.align.aligner import SeedExtendAligner
+    from sapling_tpu.config import AlignerConfig
+    from sapling_tpu.index.sapling import SaplingIndex
+    from sapling_tpu.io.fastq import Read
+    from sapling_tpu.ops.pack import decode_bases
+    from sapling_tpu.sim.genomes import simulate_reads
+
+    npz = os.path.join(CACHE, "align_230000000_k16.stpu.npz")
+    if not os.path.exists(npz) or os.environ.get("SAPLING_BENCH_ALIGNER") == "0":
+        log("[aligner] no cached 230Mbp aligner artifact — skipped")
+        return None
+    t0 = time.time()
+    idx = SaplingIndex.load(npz, mmap=True)
+    idx.codes = np.array(idx.codes)  # force RAM copy: queries gather randomly
+    log(f"[aligner] artifact mapped in {time.time()-t0:.0f}s (n={idx.n:,})")
+    n_reads, rlen = 50_000, 100
+    g_ascii = decode_bases(idx.codes)
+    reads_arr, pos, _rc = simulate_reads(g_ascii, n_reads, rlen,
+                                         sub_rate=0.01, seed=42)
+    reads = [Read(name=f"r{i}", seq=reads_arr[i].tobytes(), qual="I" * rlen)
+             for i in range(n_reads)]
+    aligner = SeedExtendAligner(idx, AlignerConfig())
+    block, workers, coalesce = 16384, 8, 2
+    warm = (reads[lo:lo + block] for lo in range(0, n_reads, block))
+    for _ in aligner.align_blocks(warm, workers=workers, coalesce=coalesce):
+        pass
+    t0 = time.time()
+    n_aligned = n_good = ri = 0
+    blocks = (reads[lo:lo + block] for lo in range(0, n_reads, block))
+    for out in aligner.align_blocks(blocks, workers=workers,
+                                    coalesce=coalesce):
+        for ar in out:
+            if ar.aligned:
+                n_aligned += 1
+                if abs(ar.alignment.ref_begin - pos[ri]) <= 10:
+                    n_good += 1
+            ri += 1
+    dt = time.time() - t0
+    rps = n_reads / dt
+    log(f"[aligner] {n_reads} reads in {dt:.2f}s -> {rps:,.0f} reads/s "
+        f"({n_aligned} aligned, {n_good} within 10bp of truth)")
+    if n_aligned < 0.99 * n_reads or n_good < 0.85 * n_reads:
+        raise SystemExit("aligner quality check FAILED")
+    return dict(label="230Mbp_100bp", reads_per_s=round(rps),
+                ref_reads_per_s=6960,
+                vs_ref=round(rps / 6960, 2))
 
 
 def main():
@@ -176,11 +330,14 @@ def main():
     os.makedirs(CACHE, exist_ok=True)
     dev = jax.devices()[0]
     log(f"device: {dev.platform} {dev.device_kind}")
+    cal = calibrate()
 
     only = os.environ.get("SAPLING_BENCH_SCALES")  # e.g. "4.6Mbp,230Mbp"
     results = []
+    skipped = []
     for sc in SCALES:
         if only and sc["label"] not in only.split(","):
+            skipped.append(sc["label"])
             continue
         npz = os.path.join(CACHE, sc["npz"])
         if not os.path.exists(npz):
@@ -189,32 +346,47 @@ def main():
             else:
                 log(f"[{sc['label']}] no cached index ({sc['npz']}) — "
                     f"skipped (build with tools/build_big_index.py)")
+                skipped.append(sc["label"])
                 continue
         else:
             t0 = time.time()
-            idx = SaplingIndex.load(npz)
-            log(f"[{sc['label']}] loaded in {time.time()-t0:.0f}s "
+            # query path never touches inv / the aligner run arrays;
+            # mmap defers disk reads to the members actually used
+            idx = SaplingIndex.load(
+                npz, skip=("inv", "inv_hi", "lcpk_fwd", "lcpk_bwd"),
+                mmap=True)
+            # queries gather random rows of codes — materialize it
+            # sequentially instead of paging 5M random faults
+            idx.codes = np.array(idx.codes)  # force RAM copy: queries gather randomly
+            log(f"[{sc['label']}] mapped in {time.time()-t0:.0f}s "
                 f"(n={idx.n:,}, buckets=2^{idx.buckets})")
-        qps, bs_qps = bench_scale(idx, sc["cap"], sc["iters"],
-                                  sc["bs_iters"])
+        r = bench_scale(idx, sc["cap"], sc["iters"], sc["bs_iters"])
         results.append(dict(
-            label=sc["label"], qps=round(qps),
-            vs_ref_best=round(qps / sc["ref_qps"], 2),
-            vs_ref_binsearch=round(qps / sc["ref_bs_qps"], 2),
-            onchip_binsearch_qps=round(bs_qps),
-            onchip_margin=round(qps / bs_qps, 2)))
+            label=sc["label"], qps=round(r["qps"]),
+            spread_pct=r["spread_pct"],
+            vs_ref_best=round(r["qps"] / sc["ref_qps"], 2),
+            vs_ref_binsearch=round(r["qps"] / sc["ref_bs_qps"], 2),
+            onchip_binsearch_qps=round(r["bs_qps"]),
+            onchip_margin=round(r["qps"] / r["bs_qps"], 2)))
         del idx  # free ~30 GB of host arrays before the next scale
 
     if not results:
         raise SystemExit("no scale benchmarked")
+    aligner = bench_aligner()
     primary = results[-1]  # largest measured scale = the north star
-    print(json.dumps({
-        "metric": f"plquery_qps_{primary['label']}_k21",
+    out = {
+        "metric": "plquery_qps_k21",
         "value": primary["qps"],
         "unit": "queries/sec/chip",
         "vs_baseline": primary["vs_ref_best"],
+        "primary_scale": primary["label"],
+        "skipped_scales": skipped,
+        "calibration": cal,
         "scales": results,
-    }))
+    }
+    if aligner:
+        out["aligner"] = aligner
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -61,6 +61,42 @@ def lcp_ge_k_runs(lcp: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     return fwd, bwd
 
 
+def fwd_runs_from_mask(ok: np.ndarray) -> np.ndarray:
+    """Forward run lengths of a boolean mask, int32-capped (the memory-
+    lean form of lcp_ge_k_runs' fwd for m < 2^32 — uint32 index temps
+    instead of int64)."""
+    m = ok.shape[0]
+    idx = np.arange(m, dtype=np.uint32)
+    nf = np.where(~ok, idx, np.uint32(m))
+    nb = np.minimum.accumulate(nf[::-1])[::-1]
+    del nf
+    runs = nb - idx
+    np.minimum(runs, np.uint32(np.iinfo(np.int32).max), out=runs)
+    return runs.astype(np.int32)
+
+
+def fwd_runs_from_rank_kmers(kmers: np.ndarray, inv: np.ndarray,
+                             n: int) -> np.ndarray:
+    """lcp>=k forward runs derived WITHOUT an LCP array: for two
+    full-length suffixes, lcp(rank r, rank r+1) >= k iff their leading
+    k-mers are equal; a suffix shorter than k can never reach lcp k
+    (lcp <= its length < k). Lets a saved artifact (codes + inv) be
+    re-audited — e.g. a bucket-count retable — without re-running
+    Kasai. Returns int32 [n-1] matching lcp_ge_k_runs(lcp, k)[0].
+
+    kmers: int64 [n-k+1] k-mer value per position; inv: [n] pos->rank."""
+    m = kmers.shape[0]
+    karr = np.empty(n, dtype=np.int64)
+    karr[np.asarray(inv[:m], dtype=np.int64)] = kmers
+    # short suffixes: distinct negative sentinels — never equal to any
+    # k-mer value or to each other
+    karr[np.asarray(inv[m:], dtype=np.int64)] = \
+        -1 - np.arange(n - m, dtype=np.int64)
+    ok = karr[:-1] == karr[1:]
+    del karr
+    return fwd_runs_from_mask(ok)
+
+
 def pack_bitmask(bits: np.ndarray, pad_words: int = 4) -> np.ndarray:
     """Pack a boolean array into uint32 words, bit i at position 31-(i%32)
     of word i//32 (big-endian within word, matching the 2-bit genome pack)."""

@@ -724,14 +724,20 @@ def _plquery_fast3(rev, prefix3, q3, x, xlist, ylist, *, n, length, k,
                    buckets, most_over, most_under, max_over, max_under, idt,
                    take=take_rank, bounds=None, ptab=None, pred2=None,
                    pred2_bits=None, compact_escalate=False,
-                   compact_cap=None, compact_unresolved=False):
+                   compact_cap=None, compact_unresolved=False,
+                   pred64=None):
     """plQuery via 3-bit prefix probes: ONE 8-byte gather per probe round,
     suffix-array RANKS tracked throughout, a single rev gather at the end.
     Exact reference decision sequence; valid for length <= min(k, 21)
-    (phase C, the only consumer of off_end, is statically absent)."""
+    (phase C, the only consumer of off_end, is statically absent).
+
+    pred64: precomputed [B] int64 predicted ranks (e.g. an NN predictor,
+    models.serve) — replaces the PWL prediction; the caller must pass
+    the matching most/max windows for that predictor."""
     probe = make_rank_probe3(prefix3, q3, length=length, take=take)
-    pred64 = predict_pwl(x, xlist, ylist, 2 * k, buckets, n, ptab=ptab,
-                         pred2=pred2, pred2_bits=pred2_bits)
+    if pred64 is None:
+        pred64 = predict_pwl(x, xlist, ylist, 2 * k, buckets, n, ptab=ptab,
+                             pred2=pred2, pred2_bits=pred2_bits)
     pred = pred64.astype(idt)
     neg1 = jnp.array(-1, idt)
     rank_res = jnp.full(pred.shape, -1, dtype=idt)
@@ -1015,6 +1021,7 @@ def plquery_batch(
     compact_escalate: bool = False,
     compact_cap: int | None = None,
     compact_unresolved: bool = False,
+    pred64=None,
 ):
     """Batched Sapling::plQuery (reference: src/sapling_api.h:159-248).
 
@@ -1058,6 +1065,13 @@ def plquery_batch(
     measured 29% at 4.6 Mbp nb=22, 47% at 230 Mbp nb=26) with margin;
     a too-small cap stays CORRECT but pays the full-width fallback
     every launch (measured 0.64x at 230 Mbp with a 37.5% cap).
+
+    pred64: precomputed [B] int64 predicted ranks — replaces the PWL
+    prediction entirely (the NN-predictor engine, models.serve, uses
+    this seam). The caller must pass most/max windows measured for THAT
+    predictor; found/-1 status is then correct for any prediction, but
+    which member of a duplicate run is returned follows the
+    prediction's search order.
     """
     idt = _state_dtype(_rev_dtype(rev))
     take = make_take(shard_spec)
@@ -1079,11 +1093,12 @@ def plquery_batch(
             max_over=max_over, max_under=max_under, idt=idt, take=take,
             bounds=ab, ptab=ptab, pred2=pred2, pred2_bits=pred2_bits,
             compact_escalate=compact_escalate, compact_cap=compact_cap,
-            compact_unresolved=compact_unresolved)
+            compact_unresolved=compact_unresolved, pred64=pred64)
     probe_rank = make_rank_probe(packed, rev, prefix, q_words,
                                  n=n, length=length, idt=idt, take=take)
-    pred64 = predict_pwl(x, xlist, ylist, 2 * k, buckets, n, ptab=ptab,
-                         pred2=pred2, pred2_bits=pred2_bits)
+    if pred64 is None:
+        pred64 = predict_pwl(x, xlist, ylist, 2 * k, buckets, n, ptab=ptab,
+                             pred2=pred2, pred2_bits=pred2_bits)
     pred = pred64.astype(idt)
 
     neg1 = jnp.array(-1, idt)

@@ -162,3 +162,46 @@ def test_build_tool_aligner_artifact_parity(tmp_path):
         if x.aligned:
             assert x.alignment.ref_begin == y.alignment.ref_begin
             assert x.alignment.cigar == y.alignment.cigar
+
+
+def test_retable_tool_matches_direct_build(tmp_path):
+    """tools/retable_index.py rebuilds the PWL table at a new bucket
+    count from a saved artifact (codes+inv, NO Kasai rerun) and the
+    result is bit-identical — xlist/ylist AND audit stats — to a direct
+    SaplingIndex.build at that bucket count. Also pins
+    fwd_runs_from_rank_kmers == lcp_ge_k_runs' fwd."""
+    import subprocess
+    import sys
+
+    from sapling_tpu.index.suffix_array import (build_suffix_data,
+                                                fwd_runs_from_rank_kmers)
+    from sapling_tpu.io.artifacts import load_npz
+    from sapling_tpu.sim.genomes import benchmark_genome
+
+    g = benchmark_genome(300_000)
+    k = 13
+    # direct fwd vs rank-kmer-equality fwd
+    sd = build_suffix_data(g, np.int64)
+    fwd_ref, _ = lcp_ge_k_runs(sd.lcp, k)
+    kmers = kmers_scan(encode_bases(g), k)
+    fwd_rk = fwd_runs_from_rank_kmers(kmers, sd.inv, len(g))
+    assert np.array_equal(fwd_rk, fwd_ref[: len(g) - 1])
+
+    idx16 = SaplingIndex.build(g, IndexConfig(k=k, buckets=12))
+    src = str(tmp_path / "toy.stpu.npz")
+    idx16.save(src)
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    out = str(tmp_path / "toy_nb14.table.npz")
+    subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "retable_index.py"),
+         src, "nb=14", "workers=2", f"out={out}"],
+        check=True, env=env, capture_output=True)
+    z = load_npz(out)
+    direct = SaplingIndex.build(g, IndexConfig(k=k, buckets=14))
+    t = direct.table
+    assert int(z["buckets"]) == 14
+    assert np.array_equal(z["xlist"], t.xlist)
+    assert np.array_equal(z["ylist"], t.ylist)
+    assert z["stats"].tolist() == [t.max_over, t.max_under, t.mean_error,
+                                   t.most_over, t.most_under]

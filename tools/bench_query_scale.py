@@ -69,7 +69,31 @@ def main(argv):
                         cap=int(kv["cap"]) if "cap" in kv else None)]
 
     t0 = time.time()
-    idx = SaplingIndex.load(argv[1])
+    # query path never touches inv or the aligner run arrays; mmap
+    # defers disk reads to the members actually used (bench.py does the
+    # same — VERDICT r3 weak #6)
+    idx = SaplingIndex.load(
+        argv[1], skip=("inv", "inv_hi", "lcpk_fwd", "lcpk_bwd"), mmap=True)
+    idx.codes = np.array(idx.codes)  # force RAM copy: queries gather randomly
+    if "table" in kv:
+        # swap in a retabled PWL table (tools/retable_index.py) for
+        # bucket-count A/Bs without duplicating the 30 GB artifact
+        from sapling_tpu.index.pwl import PwlTable
+        from sapling_tpu.io.artifacts import load_npz
+
+        z = load_npz(kv["table"])
+        if int(z["src_n"]) != idx.n or int(z["src_k"]) != idx.k:
+            raise SystemExit(f"table {kv['table']} was built for "
+                             f"n={int(z['src_n'])},k={int(z['src_k'])}")
+        st = z["stats"]
+        idx.buckets = int(z["buckets"])
+        idx.table = PwlTable(
+            buckets=idx.buckets, xlist=z["xlist"], ylist=z["ylist"],
+            max_over=int(st[0]), max_under=int(st[1]),
+            mean_error=int(st[2]), most_over=int(st[3]),
+            most_under=int(st[4]))
+        print(f"table override: 2^{idx.buckets} buckets from "
+              f"{kv['table']}", flush=True)
     t = idx.table
     print(f"loaded n={idx.n:,} buckets=2^{idx.buckets} "
           f"most=({t.most_over},{t.most_under}) "

@@ -32,16 +32,9 @@ def log(msg):
 
 
 def _fwd_runs_from_ok(ok: np.ndarray) -> np.ndarray:
-    """Forward run lengths of a boolean array, uint32 indices (lean
-    version of index.suffix_array.lcp_ge_k_runs for m < 2^32)."""
-    m = ok.shape[0]
-    idx = np.arange(m, dtype=np.uint32)
-    nf = np.where(~ok, idx, np.uint32(m))
-    nb = np.minimum.accumulate(nf[::-1])[::-1]
-    del nf
-    runs = nb - idx
-    np.minimum(runs, np.uint32(np.iinfo(np.int32).max), out=runs)
-    return runs.astype(np.int32)
+    from sapling_tpu.index.suffix_array import fwd_runs_from_mask
+
+    return fwd_runs_from_mask(ok)
 
 
 def _capped_runs_from_fwd(fwd: np.ndarray, chunk: int = 1 << 26):
