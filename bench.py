@@ -287,9 +287,18 @@ def bench_aligner():
         return None
     t0 = time.time()
     idx = SaplingIndex.load(npz, mmap=True)
-    idx.codes = np.array(idx.codes)  # force RAM copy: queries gather randomly
+    # the aligner's host phases gather RANDOMLY from codes/inv/lcpk —
+    # materialize those (sequential read); rev/packed stay mapped, they
+    # only stream to the device
+    idx.codes = np.array(idx.codes)
+    idx.inv = np.array(idx.inv)
+    idx.lcpk_fwd = np.array(idx.lcpk_fwd)
+    idx.lcpk_bwd = np.array(idx.lcpk_bwd)
     log(f"[aligner] artifact mapped in {time.time()-t0:.0f}s (n={idx.n:,})")
-    n_reads, rlen = 50_000, 100
+    # 100k reads = 7 blocks of 16384: enough steady-state for the
+    # 8-worker pipeline (50k = 4 blocks measured 21k vs 29k reads/s —
+    # all ramp/drain)
+    n_reads, rlen = 100_000, 100
     g_ascii = decode_bases(idx.codes)
     reads_arr, pos, _rc = simulate_reads(g_ascii, n_reads, rlen,
                                          sub_rate=0.01, seed=42)
@@ -300,25 +309,35 @@ def bench_aligner():
     warm = (reads[lo:lo + block] for lo in range(0, n_reads, block))
     for _ in aligner.align_blocks(warm, workers=workers, coalesce=coalesce):
         pass
-    t0 = time.time()
-    n_aligned = n_good = ri = 0
-    blocks = (reads[lo:lo + block] for lo in range(0, n_reads, block))
-    for out in aligner.align_blocks(blocks, workers=workers,
-                                    coalesce=coalesce):
-        for ar in out:
-            if ar.aligned:
-                n_aligned += 1
-                if abs(ar.alignment.ref_begin - pos[ri]) <= 10:
-                    n_good += 1
-            ri += 1
-    dt = time.time() - t0
+    # the aligner pipeline is dispatch-RPC-bound (dozens of small
+    # tunnel round trips per block) — unlike the chained query programs
+    # (spread 0.0%) its wall time jitters ~20-30%; report the median of
+    # REPEATS full passes with the spread
+    times = []
+    n_aligned = n_good = 0
+    for rep in range(REPEATS):
+        t0 = time.time()
+        n_aligned = n_good = ri = 0
+        blocks = (reads[lo:lo + block] for lo in range(0, n_reads, block))
+        for out in aligner.align_blocks(blocks, workers=workers,
+                                        coalesce=coalesce):
+            for ar in out:
+                if ar.aligned:
+                    n_aligned += 1
+                    if abs(ar.alignment.ref_begin - pos[ri]) <= 10:
+                        n_good += 1
+                ri += 1
+        times.append(time.time() - t0)
+    dt = float(np.median(times))
     rps = n_reads / dt
+    spread = 100.0 * (max(times) - min(times)) / dt
     log(f"[aligner] {n_reads} reads in {dt:.2f}s -> {rps:,.0f} reads/s "
-        f"({n_aligned} aligned, {n_good} within 10bp of truth)")
+        f"(median of {REPEATS}, spread {spread:.0f}%; {n_aligned} "
+        f"aligned, {n_good} within 10bp of truth)")
     if n_aligned < 0.99 * n_reads or n_good < 0.85 * n_reads:
         raise SystemExit("aligner quality check FAILED")
     return dict(label="230Mbp_100bp", reads_per_s=round(rps),
-                ref_reads_per_s=6960,
+                spread_pct=round(spread, 1), ref_reads_per_s=6960,
                 vs_ref=round(rps / 6960, 2))
 
 
