@@ -1054,7 +1054,7 @@ def plquery_batch(
     changes. Overflow beyond cap stays in the full-width loop (correct,
     slower). See _compact_deep for the cost model.
 
-    compact_unresolved (fast3 path only): stronger form — EVERYTHING
+    compact_unresolved (fast3 AND general paths): stronger form — EVERYTHING
     after the prediction probe (edge probe, max-window escalation, all
     bisect rounds) runs in a compacted [compact_cap] batch drained by a
     while_loop; the escalated tail nests into a second compaction level

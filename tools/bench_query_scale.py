@@ -44,7 +44,7 @@ def main(argv):
         return 1
     kv = parse_keyval_args(argv[2:])
     nq = int(kv.get("nq", 5_000_000))
-    qlen = int(kv.get("qLen", 21))
+    qlens = [int(v) for v in str(kv.get("qLen", "21")).split(",")]
     iters = int(kv.get("iters", 10))
     adaptive = bool(int(kv.get("adaptive", 0)))
     want_hitrate = bool(int(kv.get("hitrate", 0)))
@@ -99,14 +99,6 @@ def main(argv):
           f"most=({t.most_over},{t.most_under}) "
           f"max=({t.max_over},{t.max_under}) in {time.time()-t0:.0f}s",
           flush=True)
-    rng = np.random.default_rng(99)
-    starts = rng.integers(0, idx.n - qlen + 1, nq)
-    codes2d = idx.codes[starts[:, None] + np.arange(qlen)]
-    q_words = jax.device_put(packops.pack_queries(codes2d))
-    x = jax.device_put(packops.batch_kmers_adjusted(codes2d, idx.k))
-    use3 = (idx.prefix3 is not None
-            and qlen <= min(idx.k, packops.P3_BASES))
-    q3 = jax.device_put(packops.pack_queries3(codes2d)) if use3 else None
     # rows2d=1/0 forces the Rows2D / HalvesU32 rev layout at >2^31 ranks
     # (unset = engine default: Rows2D, measured +18% at 3.1 Gbp)
     rows2d = kv.get("rows2d")
@@ -123,6 +115,38 @@ def main(argv):
 
     rdt = _rev_dtype(darr["rev"])
     state_dt = jnp.int64 if np.dtype(rdt) == np.uint32 else rdt
+
+    results = {}
+    for qlen in qlens:  # one index load/transfer, many query lengths
+        results[qlen] = _bench_len(
+            idx, qlen, nq, iters, configs, adaptive, want_hitrate,
+            darr, arrs, p2bits, state_dt)
+    if len(qlens) > 1:
+        print("qLen sweep: " + "  ".join(
+            f"{ql}:{qps:,.0f}" for ql, qps in results.items()))
+    return 0
+
+
+def _bench_len(idx, qlen, nq, iters, configs, adaptive, want_hitrate,
+               darr, arrs, p2bits, state_dt):
+    import jax
+    import jax.numpy as jnp
+
+    from sapling_tpu.ops import pack as packops
+    from sapling_tpu.ops.predict import predict_pwl
+    from sapling_tpu.ops.query import (_rev_dtype, _state_dtype,
+                                       make_rank_probe, plquery_batch)
+
+    t = idx.table
+    rng = np.random.default_rng(99)
+    starts = rng.integers(0, idx.n - qlen + 1, nq)
+    codes2d = idx.codes[starts[:, None] + np.arange(qlen)]
+    q_words = jax.device_put(packops.pack_queries(codes2d))
+    x = jax.device_put(packops.batch_kmers_adjusted(codes2d, idx.k))
+    use3 = (idx.prefix3 is not None
+            and qlen <= min(idx.k, packops.P3_BASES))
+    q3 = jax.device_put(packops.pack_queries3(codes2d)) if use3 else None
+    rdt = _rev_dtype(darr["rev"])
 
     if want_hitrate:
         idt = _state_dtype(rdt)
@@ -183,8 +207,8 @@ def main(argv):
         return nq / dt
 
     best = max(run_config(**c) for c in configs)
-    print(f"best: {best:,.0f} q/s")
-    return 0
+    print(f"best qLen={qlen}: {best:,.0f} q/s")
+    return best
 
 
 if __name__ == "__main__":
