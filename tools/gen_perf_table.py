@@ -51,6 +51,20 @@ def main():
             f"Aligner (FASTQ→SAM, {al['label']}, {al['config']}) — "
             f"{parts}. {al['note']}.",
         ]
+    sweep = data.get("length_sweep")
+    sweep_lines = []
+    if sweep is not None:
+        # reference sweep axis: eval/VarQuery/plot_query_length_runtime.py
+        # :16-27 (GRCh38, 5M queries/length, seconds -> q/s)
+        hdr = "| Query length | " + " | ".join(
+            str(e["len"]) for e in sweep["entries"]) + " |"
+        sep = "|---|" + "---|" * len(sweep["entries"])
+        ours = "| " + sweep["label"] + " | " + " | ".join(
+            f"**{fmt_qps(e['qps'])}**" for e in sweep["entries"]) + " |"
+        refs = "| Reference best (GRCh38, 1 thread) | " + " | ".join(
+            fmt_qps(e["ref_qps"]) if e.get("ref_qps") else "—"
+            for e in sweep["entries"]) + " |"
+        sweep_lines = ["", hdr, sep, ours, refs, "", sweep["note"]]
     table = "\n".join([
         "| Genome scale | This framework | Reference best (1 CPU thread) "
         "| Speedup | vs on-chip binary search |",
@@ -59,6 +73,7 @@ def main():
         "",
         data["footnote"],
         *al_lines,
+        *sweep_lines,
         f"\n*Measured {data['measured_on']}; regenerate with "
         f"`python tools/gen_perf_table.py` from docs/measured.json.*",
     ])
