@@ -343,27 +343,11 @@ class SaplingIndex:
                 pred2_bits = p2[2]
                 xlist = ylist = None
             elif big or rev_bank_bits is not None:
-                # Slim split storage: x has 2k bits (hi fits u16 for
-                # k <= 24) and y <= n fits u32 alone when n < 2^32 — so
-                # a checkpoint ships as 10 bytes, not the 16 of full
-                # (u32 hi, u32 lo) pairs. At GRCh38 scale that is
-                # ~0.4 GB of HBM args saved on top of the on-device
-                # xy64+xhi16 repack temps (ops.predict
-                # ._endpoints_packed), which HBM accounting must count
-                # too.
-                xhi_dt = np.uint16 if 2 * self.k <= 48 else np.uint32
-                xlist = (jnp.asarray((xl64 >> 32).astype(xhi_dt)),
-                         jnp.asarray((xl64 & 0xFFFFFFFF).astype(np.uint32)))
-                if self.n <= (1 << 32):
-                    ylist = jnp.asarray(
-                        (yl64 & 0xFFFFFFFF).astype(np.uint32))
-                else:
-                    ylist = (jnp.asarray((yl64 >> 32).astype(np.uint32)),
-                             jnp.asarray((yl64 & 0xFFFFFFFF)
-                                         .astype(np.uint32)))
+                xlist, ylist = _ship_table_arrays(xl64, yl64, self.k,
+                                                  self.n, slim=True)
             else:
-                xlist = jnp.asarray(xl64)
-                ylist = jnp.asarray(yl64)
+                xlist, ylist = _ship_table_arrays(xl64, yl64, self.k,
+                                                  self.n, slim=False)
             # uint64 word pairing halves probe gather granules but adds
             # per-probe select work; it wins only in the granule-bound
             # multi-Gbp regime — which is exactly when the per-rank
@@ -391,6 +375,30 @@ class SaplingIndex:
                            if self.table.bounds is not None else None),
             }
         return self._device
+
+    def swap_table(self, table) -> None:
+        """Replace the PWL table in place (e.g. a tools/retable_index.py
+        bucket-count A/B). If device arrays are already resident, ONLY
+        the table entries re-ship — rev/packed/prefix stay on device
+        (at GRCh38 scale that is a ~1 GB transfer instead of ~14 GB).
+        Requires the default table layouts (no ptab/pred2)."""
+        self.table = table
+        self.buckets = table.buckets
+        if self._device:
+            import jax.numpy as jnp
+
+            if (self._device.get("ptab") is not None
+                    or self._device.get("pred2") is not None):
+                raise NotImplementedError(
+                    "swap_table with ptab/pred2 layouts — rebuild "
+                    "device arrays instead")
+            big = self.rev.shape[0] > (1 << 31) - 1
+            xl, yl = _ship_table_arrays(table.xlist, table.ylist,
+                                        self.k, self.n, slim=big)
+            self._device["xlist"] = xl
+            self._device["ylist"] = yl
+            self._device["bounds"] = (jnp.asarray(table.bounds)
+                                      if table.bounds is not None else None)
 
     # --- queries -------------------------------------------------------------
 
@@ -468,3 +476,27 @@ class SaplingIndex:
         window = self.codes[pos_ok[:, None] + np.arange(length)]
         good[ok] = (window == codes2d[ok]).all(axis=1)
         return good
+
+
+def _ship_table_arrays(xl64, yl64, k: int, n: int, slim: bool):
+    """Device placement of the PWL checkpoint tables.
+
+    slim split storage (the >= 2^31-rank default): x has 2k bits (hi
+    fits u16 for k <= 24) and y <= n fits u32 alone when n < 2^32 — a
+    checkpoint ships as 10 bytes, not the 16 of full (u32 hi, u32 lo)
+    pairs. At GRCh38 scale that is ~0.4 GB of HBM args saved on top of
+    the on-device xy64+xhi16 repack temps (ops.predict
+    ._endpoints_packed), which HBM accounting must count too."""
+    import jax.numpy as jnp
+
+    if not slim:
+        return jnp.asarray(xl64), jnp.asarray(yl64)
+    xhi_dt = np.uint16 if 2 * k <= 48 else np.uint32
+    xlist = (jnp.asarray((xl64 >> 32).astype(xhi_dt)),
+             jnp.asarray((xl64 & 0xFFFFFFFF).astype(np.uint32)))
+    if n <= (1 << 32):
+        ylist = jnp.asarray((yl64 & 0xFFFFFFFF).astype(np.uint32))
+    else:
+        ylist = (jnp.asarray((yl64 >> 32).astype(np.uint32)),
+                 jnp.asarray((yl64 & 0xFFFFFFFF).astype(np.uint32)))
+    return xlist, ylist

@@ -75,9 +75,13 @@ def main(argv):
     idx = SaplingIndex.load(
         argv[1], skip=("inv", "inv_hi", "lcpk_fwd", "lcpk_bwd"), mmap=True)
     idx.codes = np.array(idx.codes)  # force RAM copy: queries gather randomly
+    # table=: a retabled PWL table (tools/retable_index.py) for
+    # bucket-count A/Bs without duplicating the 30 GB artifact.
+    # ab=1 runs the artifact's own table FIRST, then swaps in table=
+    # and reruns — one load, one rev/packed transfer (swap_table
+    # re-ships only the ~1 GB table).
+    over_table = None
     if "table" in kv:
-        # swap in a retabled PWL table (tools/retable_index.py) for
-        # bucket-count A/Bs without duplicating the 30 GB artifact
         from sapling_tpu.index.pwl import PwlTable
         from sapling_tpu.io.artifacts import load_npz
 
@@ -86,14 +90,16 @@ def main(argv):
             raise SystemExit(f"table {kv['table']} was built for "
                              f"n={int(z['src_n'])},k={int(z['src_k'])}")
         st = z["stats"]
-        idx.buckets = int(z["buckets"])
-        idx.table = PwlTable(
-            buckets=idx.buckets, xlist=z["xlist"], ylist=z["ylist"],
+        over_table = PwlTable(
+            buckets=int(z["buckets"]), xlist=z["xlist"], ylist=z["ylist"],
             max_over=int(st[0]), max_under=int(st[1]),
             mean_error=int(st[2]), most_over=int(st[3]),
             most_under=int(st[4]))
-        print(f"table override: 2^{idx.buckets} buckets from "
-              f"{kv['table']}", flush=True)
+        if not int(kv.get("ab", 0)):
+            idx.swap_table(over_table)
+            over_table = None
+            print(f"table override: 2^{idx.buckets} buckets from "
+                  f"{kv['table']}", flush=True)
     t = idx.table
     print(f"loaded n={idx.n:,} buckets=2^{idx.buckets} "
           f"most=({t.most_over},{t.most_under}) "
@@ -124,6 +130,22 @@ def main(argv):
     if len(qlens) > 1:
         print("qLen sweep: " + "  ".join(
             f"{ql}:{qps:,.0f}" for ql, qps in results.items()))
+    if over_table is not None:
+        idx.swap_table(over_table)
+        darr = idx.device_arrays()
+        arrs[2], arrs[3] = darr["xlist"], darr["ylist"]
+        arrs[6] = darr.get("bounds")
+        print(f"--- A/B: swapped to 2^{idx.buckets} buckets from "
+              f"{kv['table']} (rev/packed stay resident)", flush=True)
+        results_b = {}
+        for qlen in qlens:
+            results_b[qlen] = _bench_len(
+                idx, qlen, nq, iters, configs, adaptive, want_hitrate,
+                darr, arrs, p2bits, state_dt)
+        for ql in qlens:
+            print(f"A/B qLen={ql}: base {results[ql]:,.0f} vs "
+                  f"2^{idx.buckets} {results_b[ql]:,.0f} "
+                  f"({results_b[ql]/results[ql]:.2f}x)")
     return 0
 
 
