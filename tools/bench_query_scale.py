@@ -206,24 +206,38 @@ def _bench_len(idx, qlen, nq, iters, configs, adaptive, want_hitrate,
                     max_over=t.max_over, max_under=t.max_under,
                     adaptive_bounds=adaptive, compact_escalate=compact,
                     compact_cap=cap, compact_unresolved=compact_u)
-                return xx + out[0] * 0, out
+                # chain on a REDUCTION of the output: every lane of
+                # every iteration stays live (bench.py doctrine)
+                return xx + jnp.sum(out).astype(xx.dtype) * 0, out
 
-            return jax.lax.fori_loop(
+            out = jax.lax.fori_loop(
                 0, iters, body, (xx0, jnp.zeros(xx0.shape[0], state_dt)))[1]
+            # digest-only timed fetch: the [nq] position fetch rides the
+            # ~40 MB/s tunnel and its variance is NOT the engine's
+            # (docs/PERFORMANCE.md r4 harness) — the full vector is
+            # fetched untimed for the self-check
+            digest = jnp.stack([jnp.sum(out), out[1234]]).astype(jnp.int64)
+            return out, digest
 
         tag = (f"adaptive={adaptive}, compact={compact}, "
                f"compact_u={compact_u}, cap={cap}")
         print(f"compiling [{tag}]...", flush=True)
         t0 = time.time()
-        np.asarray(run_k(q_words, x, q3, *arrs))
+        np.asarray(run_k(q_words, x, q3, *arrs)[1])
         print(f"compiled in {time.time()-t0:.0f}s", flush=True)
-        t0 = time.time()
-        pos = np.asarray(run_k(q_words, x, q3, *arrs))
-        dt = (time.time() - t0) / iters
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            np.asarray(run_k(q_words, x, q3, *arrs)[1])
+            times.append((time.time() - t0) / iters)
+        dt = float(np.median(times))
+        spread = 100.0 * (max(times) - min(times)) / dt
+        pos = np.asarray(run_k(q_words, x, q3, *arrs)[0])  # untimed
         sample = min(nq, 200_000)
         ok = int(idx.verify_hits(codes2d[:sample], pos[:sample]).sum())
         print(f"plquery qLen={qlen} [{tag}] fast3={use3}: "
-              f"{nq/dt:,.0f} q/s; self-check {ok}/{sample}", flush=True)
+              f"{nq/dt:,.0f} q/s (median of 3, spread {spread:.1f}%); "
+              f"self-check {ok}/{sample}", flush=True)
         if ok != sample:
             raise SystemExit("self-check FAILED")
         return nq / dt
