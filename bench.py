@@ -311,11 +311,17 @@ def bench_aligner():
         pass
     # the aligner pipeline is dispatch-RPC-bound (dozens of small
     # tunnel round trips per block) — unlike the chained query programs
-    # (spread 0.0%) its wall time jitters ~20-30%; report the median of
-    # REPEATS full passes with the spread
+    # (spread 0.0%) its wall time jitters ~20-30%, and a host-contended
+    # rep can stall far longer (BENCH_r04 recorded one ~200 s rep
+    # against a 4.35 s median while a 3.1 Gbp build hammered the host).
+    # Discipline: REPEATS passes, up to 2 extra if a pass lands >2x the
+    # best so far; headline = median over ALL passes, spread over the
+    # central 3 sorted times, raw times logged so nothing is hidden.
     times = []
     n_aligned = n_good = 0
-    for rep in range(REPEATS):
+
+    def one_pass():
+        nonlocal n_aligned, n_good
         t0 = time.time()
         n_aligned = n_good = ri = 0
         blocks = (reads[lo:lo + block] for lo in range(0, n_reads, block))
@@ -328,17 +334,31 @@ def bench_aligner():
                         n_good += 1
                 ri += 1
         times.append(time.time() - t0)
+
+    for rep in range(REPEATS):
+        one_pass()
+    extra = 0
+    while len(times) >= 2 and max(times) > 2.0 * min(times) and extra < 2:
+        extra += 1
+        one_pass()
+    srt = sorted(times)
+    mid = srt[max(0, len(srt) // 2 - 1):][:3]  # central 3 of the sorted times
     dt = float(np.median(times))
     rps = n_reads / dt
-    spread = 100.0 * (max(times) - min(times)) / dt
+    spread = 100.0 * (mid[-1] - mid[0]) / dt
     log(f"[aligner] {n_reads} reads in {dt:.2f}s -> {rps:,.0f} reads/s "
-        f"(median of {REPEATS}, spread {spread:.0f}%; {n_aligned} "
-        f"aligned, {n_good} within 10bp of truth)")
+        f"(median of {len(times)}: {['%.2f' % x for x in times]}, "
+        f"central spread {spread:.0f}%; {n_aligned} aligned, "
+        f"{n_good} within 10bp of truth)")
     if n_aligned < 0.99 * n_reads or n_good < 0.85 * n_reads:
         raise SystemExit("aligner quality check FAILED")
-    return dict(label="230Mbp_100bp", reads_per_s=round(rps),
-                spread_pct=round(spread, 1), ref_reads_per_s=6960,
-                vs_ref=round(rps / 6960, 2))
+    out = dict(label="230Mbp_100bp", reads_per_s=round(rps),
+               spread_pct=round(spread, 1), ref_reads_per_s=6960,
+               vs_ref=round(rps / 6960, 2),
+               times_s=[round(x, 2) for x in times])
+    if extra:
+        out["outlier_reps"] = extra
+    return out
 
 
 def main():

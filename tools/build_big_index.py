@@ -9,7 +9,11 @@ longer needs them, and storing ranks as uint32
 HBM next to the 0.8 GB packed genome and the PWL table).
 
     python tools/build_big_index.py [n=3100000000] [k=21] [nb=26]
-        [out=.bench_cache/bench_big.stpu.npz]
+        [out=.bench_cache/bench_big.stpu.npz] [aligner=0] [stage=1]
+
+aligner=1 additionally derives + stores the uint8-capped lcp>=k run
+arrays so the artifact drives the full SeedExtendAligner; stage=0 skips
+writing the ~9 B/bp stage cache (disk-constrained hosts).
 
 Stage memory (3.1 Gbp): genome 3.1 + SA 25 + (inv,lcp) 50 transient ->
 uint32 inv 12.5 + int32 lcp-runs 12.5 + kmers 25 + argsort 25 + errors
@@ -138,8 +142,11 @@ def main(argv):
         codes = packops.encode_bases(seq)
         del seq
         gc.collect()
-        log(f"saving stage cache {stage}")
-        np.savez(stage, codes=codes, inv32=inv32, fwd=fwd)
+        if bool(int(kv.get("stage", 1))):
+            log(f"saving stage cache {stage}")
+            np.savez(stage, codes=codes, inv32=inv32, fwd=fwd)
+        else:
+            log("stage=0: skipping stage cache (saves ~9 B/bp disk)")
 
     log(f"k-mer scan ({workers} workers)")
     t1 = time.time()
