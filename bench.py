@@ -215,17 +215,31 @@ def bench_scale(idx, cap, iters, bs_iters):
         return out, digest
 
     np.asarray(run_k(q_words, x, q3, *arrs)[1])  # compile + warm
+    # Outlier discipline (same as the aligner's): a rep right after a
+    # big compile can stall far past the device time (a 3.1 Gbp rep
+    # once read ~218 s against a 3.44 s median — worker settling, not
+    # the engine). Up to 2 extra reps when any rep lands >2x the best;
+    # median over ALL reps, spread over the central 3 sorted times,
+    # raw times published.
     times = []
     for _ in range(REPEATS):
         t0 = time.time()
         np.asarray(run_k(q_words, x, q3, *arrs)[1])  # digest-only fetch
         times.append((time.time() - t0) / iters)
+    extra = 0
+    while max(times) > 2.0 * min(times) and extra < 2:
+        extra += 1
+        t0 = time.time()
+        np.asarray(run_k(q_words, x, q3, *arrs)[1])
+        times.append((time.time() - t0) / iters)
+    srt = sorted(times)
+    mid = srt[max(0, len(srt) // 2 - 1):][:3]
     dt = float(np.median(times))
     qps = NQ / dt
-    spread = 100.0 * (max(times) - min(times)) / dt
+    spread = 100.0 * (mid[-1] - mid[0]) / dt
     log(f"plquery: {NQ} queries in {dt:.3f}s -> {qps:,.0f} q/s "
-        f"(median of {REPEATS} runs x {iters} chained iters, "
-        f"spread {spread:.1f}%)")
+        f"(median of {len(times)} runs x {iters} chained iters, "
+        f"central spread {spread:.1f}%, times {['%.3f' % x for x in times]})")
     pos = np.asarray(run_k(q_words, x, q3, *arrs)[0])  # untimed full fetch
     sample = rng.choice(NQ, 200_000, replace=False)
     good = idx.verify_hits(codes2d[sample], pos[sample])
@@ -263,7 +277,11 @@ def bench_scale(idx, cap, iters, bs_iters):
     bs_qps = nb_lanes / bs_dt
     log(f"binsearch baseline: {nb_lanes} queries in {bs_dt:.3f}s -> "
         f"{bs_qps:,.0f} q/s (margin {qps / bs_qps:.2f}x)")
-    return dict(qps=qps, spread_pct=round(spread, 1), bs_qps=bs_qps)
+    out = dict(qps=qps, spread_pct=round(spread, 1), bs_qps=bs_qps,
+               times_s=[round(x, 3) for x in times])
+    if extra:
+        out["outlier_reps"] = extra
+    return out
 
 
 def bench_aligner():
@@ -400,13 +418,17 @@ def main():
             log(f"[{sc['label']}] mapped in {time.time()-t0:.0f}s "
                 f"(n={idx.n:,}, buckets=2^{idx.buckets})")
         r = bench_scale(idx, sc["cap"], sc["iters"], sc["bs_iters"])
-        results.append(dict(
+        rd = dict(
             label=sc["label"], qps=round(r["qps"]),
             spread_pct=r["spread_pct"],
             vs_ref_best=round(r["qps"] / sc["ref_qps"], 2),
             vs_ref_binsearch=round(r["qps"] / sc["ref_bs_qps"], 2),
             onchip_binsearch_qps=round(r["bs_qps"]),
-            onchip_margin=round(r["qps"] / r["bs_qps"], 2)))
+            onchip_margin=round(r["qps"] / r["bs_qps"], 2),
+            times_s=r["times_s"])
+        if r.get("outlier_reps"):
+            rd["outlier_reps"] = r["outlier_reps"]
+        results.append(rd)
         del idx  # free ~30 GB of host arrays before the next scale
 
     if not results:
