@@ -74,9 +74,13 @@ SCALES = [
     dict(label="230Mbp", npz="bench_230000000_k21.stpu.npz",
          ref_qps=5e6 / 57.6, ref_bs_qps=5e6 / 192.3,
          cap=2_500_000, iters=6, bs_iters=3),
+    # 3.1 Gbp artifact ships the 2^27 table (r5 retable: hit rate
+    # 18.7%->24.5%, unresolved 4.06M->3.78M of 5M); cap sized to that
+    # with ~3% headroom — measured 1.954M q/s vs 1.455M at the old
+    # nb=26/cap=4.5M (docs/PERFORMANCE.md r5 nb sweep)
     dict(label="3.1Gbp", npz="bench_3100000000_k21.stpu.npz",
          ref_qps=5e6 / 83.7, ref_bs_qps=5e6 / 288.3,
-         cap=4_500_000, iters=4, bs_iters=2),
+         cap=3_900_000, iters=4, bs_iters=2),
 ]
 
 # Good-session calibration pin: seconds for calibrate()'s fixed chained

@@ -205,3 +205,22 @@ def test_retable_tool_matches_direct_build(tmp_path):
     assert np.array_equal(z["ylist"], t.ylist)
     assert z["stats"].tolist() == [t.max_over, t.max_under, t.mean_error,
                                    t.most_over, t.most_under]
+
+    # tools/swap_table_artifact.py rewrites the artifact in place with
+    # the retabled table; the reloaded artifact must carry the new
+    # table bit-identically and answer queries like the direct build
+    # (r5: the 3.1 Gbp artifact ships the measured-best 2^27 table).
+    subprocess.run(
+        [sys.executable,
+         os.path.join(root, "tools", "swap_table_artifact.py"), src, out],
+        check=True, env=env, capture_output=True)
+    re = SaplingIndex.load(src)
+    assert re.buckets == 14
+    assert np.array_equal(re.table.xlist, t.xlist)
+    assert np.array_equal(re.table.ylist, t.ylist)
+    assert (re.table.max_over, re.table.max_under) == (t.max_over,
+                                                       t.max_under)
+    rng = np.random.default_rng(5)
+    starts = rng.integers(0, len(g) - k + 1, 500)
+    q = encode_bases(g)[starts[:, None] + np.arange(k)]
+    assert np.array_equal(re.query_positions(q), direct.query_positions(q))

@@ -47,7 +47,17 @@ def main(argv):
     os.makedirs(os.path.dirname(cache), exist_ok=True)
     t0 = time.time()
     if os.path.exists(cache):
-        idx = SaplingIndex.load(cache)
+        # mmap + selective materialization (bench.py's pattern): the
+        # aligner's host phases gather RANDOMLY from codes/inv/lcpk —
+        # copy those to RAM; rev/packed only stream to the device, a
+        # sequential read the mmap serves fine (36 GB full RAM load at
+        # 3.1 Gbp took ~310 s before this).
+        idx = SaplingIndex.load(cache, mmap=True)
+        idx.codes = np.array(idx.codes)
+        idx.inv = np.array(idx.inv)
+        if idx.lcpk_fwd is not None:
+            idx.lcpk_fwd = np.array(idx.lcpk_fwd)
+            idx.lcpk_bwd = np.array(idx.lcpk_bwd)
         genome = None
     else:
         if n > 1_000_000_000:
