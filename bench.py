@@ -288,14 +288,16 @@ def bench_scale(idx, cap, iters, bs_iters):
     return out
 
 
-def bench_aligner():
-    """Second headline: end-to-end FASTQ->SAM reads/s on the cached
-    chr1-class (230 Mbp) aligner artifact — same corpus recipe as
-    tools/bench_align.py (100 bp reads, 1% substitutions). One full
-    untimed warm pass covers every jit shape, then one timed pass.
-    Reference comparison: the compiled inv-fixed reference binary
-    measured 6,960 reads/s on this genome class (docs/measured.json,
-    alignment loop isolated)."""
+def bench_aligner(n=230_000_000, label="230Mbp_100bp", ref_rps=6960,
+                  tag="aligner"):
+    """Second headline: end-to-end FASTQ->SAM reads/s on a cached
+    aligner artifact — same corpus recipe as tools/bench_align.py
+    (100 bp reads, 1% substitutions). One full untimed warm pass covers
+    every jit shape, then timed passes. Reference comparison (230 Mbp):
+    the compiled inv-fixed reference binary measured 6,960 reads/s on
+    this genome class (docs/measured.json, alignment loop isolated); at
+    3.1 Gbp the reference's in-memory DC3 build cannot complete on this
+    host, so ref_rps is None there."""
     from sapling_tpu.align.aligner import SeedExtendAligner
     from sapling_tpu.config import AlignerConfig
     from sapling_tpu.index.sapling import SaplingIndex
@@ -303,9 +305,9 @@ def bench_aligner():
     from sapling_tpu.ops.pack import decode_bases
     from sapling_tpu.sim.genomes import simulate_reads
 
-    npz = os.path.join(CACHE, "align_230000000_k16.stpu.npz")
+    npz = os.path.join(CACHE, f"align_{n}_k16.stpu.npz")
     if not os.path.exists(npz) or os.environ.get("SAPLING_BENCH_ALIGNER") == "0":
-        log("[aligner] no cached 230Mbp aligner artifact — skipped")
+        log(f"[{tag}] no cached aligner artifact ({npz}) — skipped")
         return None
     t0 = time.time()
     idx = SaplingIndex.load(npz, mmap=True)
@@ -316,7 +318,7 @@ def bench_aligner():
     idx.inv = np.array(idx.inv)
     idx.lcpk_fwd = np.array(idx.lcpk_fwd)
     idx.lcpk_bwd = np.array(idx.lcpk_bwd)
-    log(f"[aligner] artifact mapped in {time.time()-t0:.0f}s (n={idx.n:,})")
+    log(f"[{tag}] artifact mapped in {time.time()-t0:.0f}s (n={idx.n:,})")
     # 100k reads = 7 blocks of 16384: enough steady-state for the
     # 8-worker pipeline (50k = 4 blocks measured 21k vs 29k reads/s —
     # all ramp/drain)
@@ -368,16 +370,17 @@ def bench_aligner():
     dt = float(np.median(times))
     rps = n_reads / dt
     spread = 100.0 * (mid[-1] - mid[0]) / dt
-    log(f"[aligner] {n_reads} reads in {dt:.2f}s -> {rps:,.0f} reads/s "
+    log(f"[{tag}] {n_reads} reads in {dt:.2f}s -> {rps:,.0f} reads/s "
         f"(median of {len(times)}: {['%.2f' % x for x in times]}, "
         f"central spread {spread:.0f}%; {n_aligned} aligned, "
         f"{n_good} within 10bp of truth)")
     if n_aligned < 0.99 * n_reads or n_good < 0.85 * n_reads:
         raise SystemExit("aligner quality check FAILED")
-    out = dict(label="230Mbp_100bp", reads_per_s=round(rps),
-               spread_pct=round(spread, 1), ref_reads_per_s=6960,
-               vs_ref=round(rps / 6960, 2),
+    out = dict(label=label, reads_per_s=round(rps),
+               spread_pct=round(spread, 1), ref_reads_per_s=ref_rps,
                times_s=[round(x, 2) for x in times])
+    if ref_rps:
+        out["vs_ref"] = round(rps / ref_rps, 2)
     if extra:
         out["outlier_reps"] = extra
     return out
@@ -438,6 +441,12 @@ def main():
     if not results:
         raise SystemExit("no scale benchmarked")
     aligner = bench_aligner()
+    # GRCh38-scale aligner joins the contract when its artifact exists
+    # (no reference figure at this scale: its in-memory DC3 SA build
+    # cannot complete on this host — README). SAPLING_BENCH_ALIGNER=0
+    # skips both aligner entries.
+    aligner_big = bench_aligner(n=3_100_000_000, label="3.1Gbp_100bp",
+                                ref_rps=None, tag="aligner-3.1Gbp")
     primary = results[-1]  # largest measured scale = the north star
     out = {
         "metric": "plquery_qps_k21",
@@ -451,6 +460,8 @@ def main():
     }
     if aligner:
         out["aligner"] = aligner
+    if aligner_big:
+        out["aligner_grch38"] = aligner_big
     print(json.dumps(out))
 
 
