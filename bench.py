@@ -71,9 +71,12 @@ SCALES = [
     dict(label="4.6Mbp", npz="bench_4600000_k21_b22.stpu.npz",
          ref_qps=5e6 / 19.0, ref_bs_qps=5e6 / 93.8,
          cap=13 << 17, iters=10, bs_iters=3),
+    # 230 Mbp artifact ships the 2^27 table (r5 retable: hit rate
+    # 52.7%->63.9%, unresolved 2.37M->1.81M of 5M); cap sized with ~8%
+    # headroom — measured 3.63M q/s vs 3.45M at nb=26/cap=2.5M
     dict(label="230Mbp", npz="bench_230000000_k21.stpu.npz",
          ref_qps=5e6 / 57.6, ref_bs_qps=5e6 / 192.3,
-         cap=2_500_000, iters=6, bs_iters=3),
+         cap=1_950_000, iters=6, bs_iters=3),
     # 3.1 Gbp artifact ships the 2^27 table (r5 retable: hit rate
     # 18.7%->24.5%, unresolved 4.06M->3.78M of 5M); cap sized to that
     # with ~3% headroom — measured 1.954M q/s vs 1.455M at the old
